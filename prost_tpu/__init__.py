@@ -1,0 +1,33 @@
+"""prost_tpu — a TPU-native framework for large-scale convex-concave
+saddle-point problems with proximal structure:
+
+    min_x max_y  g(x) + <Kx, y> - f*(y)
+
+Re-designed from scratch for JAX/XLA/Pallas with the capabilities of the
+reference CUDA/MATLAB implementation (tum-vision/prost, mounted at
+/root/reference): block-structured linear operators, a zoo of proximal
+operators, PDHG and graph-projection ADMM backends with diagonal
+(Pock-Chambolle) preconditioning and adaptive step sizes, and a Python
+modeling layer replacing the MATLAB one.
+"""
+
+from .config import ProstError, dtype, set_dtype
+from .problem import Problem, SCALING_ALPHA, SCALING_CUSTOM, SCALING_IDENTITY
+from .solver import ConvergenceResult, Solver, SolverOptions, SolverResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ProstError",
+    "dtype",
+    "set_dtype",
+    "Problem",
+    "SCALING_ALPHA",
+    "SCALING_CUSTOM",
+    "SCALING_IDENTITY",
+    "ConvergenceResult",
+    "Solver",
+    "SolverOptions",
+    "SolverResult",
+    "__version__",
+]

@@ -1,0 +1,27 @@
+"""Linear-operator layer (TPU-native counterpart of
+/root/reference/src/linop and include/prost/linop)."""
+
+from .base import Block, DualLinearOperator, LinearOperator
+from .blocks import (
+    BlockDense,
+    BlockDiags,
+    BlockIdKron,
+    BlockKronId,
+    BlockSparse,
+    BlockZero,
+)
+from .gradient import BlockGradient2D, BlockGradient3D
+
+__all__ = [
+    "Block",
+    "LinearOperator",
+    "DualLinearOperator",
+    "BlockSparse",
+    "BlockDense",
+    "BlockDiags",
+    "BlockKronId",
+    "BlockIdKron",
+    "BlockZero",
+    "BlockGradient2D",
+    "BlockGradient3D",
+]

@@ -1,0 +1,41 @@
+"""Proximal-operator layer (TPU-native counterpart of
+/root/reference/src/prox and include/prost/prox)."""
+
+from .base import Prox, ProxSeparableSum, apply_proxs, check_domain
+from .combinators import ProxMoreau, ProxPermute, ProxTransform
+from .elemop import (
+    ProxElem1D,
+    ProxElemIndSimplex,
+    ProxElemIndSum,
+    ProxElemNorm2,
+)
+from .fun1d import FUN_1D
+from .standalone import (
+    ProxIndEpiQuad,
+    ProxIndHalfspace,
+    ProxIndRange,
+    ProxIndSOC,
+    ProxIndSum,
+    ProxZero,
+)
+
+__all__ = [
+    "Prox",
+    "ProxSeparableSum",
+    "apply_proxs",
+    "check_domain",
+    "ProxMoreau",
+    "ProxPermute",
+    "ProxTransform",
+    "ProxElem1D",
+    "ProxElemNorm2",
+    "ProxElemIndSimplex",
+    "ProxElemIndSum",
+    "FUN_1D",
+    "ProxZero",
+    "ProxIndSOC",
+    "ProxIndHalfspace",
+    "ProxIndEpiQuad",
+    "ProxIndSum",
+    "ProxIndRange",
+]

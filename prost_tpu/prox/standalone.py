@@ -1,0 +1,269 @@
+"""Standalone prox operators: zero, SOC, halfspace, quadratic epigraph,
+index-set sum constraints, range projection.
+
+TPU-native counterparts of /root/reference/src/prox/prox_{zero, ind_soc,
+ind_halfspace, ind_epi_quad, ind_sum, ind_range}.cu — each CUDA kernel
+becomes a vectorized jnp expression over a (dim, count) view.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import pytree_dataclass, static_field
+from ..config import ProstError
+from .base import Prox, ProxSeparableSum
+
+
+@pytree_dataclass
+class ProxZero(Prox):
+    """Identity: prox of the zero function (prox_zero.cu:36-48)."""
+
+    index: int = static_field()
+    size: int = static_field()
+
+    @property
+    def diagsteps(self) -> bool:
+        return True  # prox_zero.cu:26-29
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        return arg
+
+
+@pytree_dataclass
+class ProxIndSOC(ProxSeparableSum):
+    """Projection onto the second-order cone {(x, y): ||x||_2 <= y}.
+
+    Layout (prox_ind_soc.cu:34-38): the dim-1 x-components are stored
+    planar, the scalar y last — i.e. segment = [x_1..., x_2..., ..., y...].
+    Closed-form three-case projection (prox_ind_soc.cu:44-77).  Only
+    alpha = 1 is supported, as in the reference (prox_ind_soc.cu:116-119).
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    count: int = static_field()
+    dim: int = static_field()
+    alpha: float = static_field(default=1.0)
+
+    @property
+    def interleaved(self):
+        return False
+
+    def __post_init__(self):
+        if self.alpha != 1.0:
+            raise ProstError("ProxIndSOC: only alpha = 1 implemented.")
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        vecs = arg.reshape(self.dim, self.count)
+        x0, y0 = vecs[: self.dim - 1], vecs[self.dim - 1]
+        norm = jnp.sqrt(jnp.sum(x0 * x0, axis=0))
+        safe_norm = jnp.where(norm > 0, norm, 1.0)
+        fac = (y0 + norm) / (2.0 * safe_norm)
+
+        inside = norm <= y0
+        polar = norm <= -y0  # inside the polar cone -> project to 0
+        scale = jnp.where(inside, 1.0, jnp.where(polar, 0.0, fac))
+        x = x0 * scale[None, :]
+        y = jnp.where(inside, y0, jnp.where(polar, 0.0, fac * norm))
+        return jnp.concatenate([x, y[None, :]]).reshape(self.size)
+
+
+@pytree_dataclass
+class ProxIndHalfspace(ProxSeparableSum):
+    """Projection onto {x : <a, x> <= b} per dim-vector
+    (prox_ind_halfspace.cu:30-89).
+
+    a has size dim (shared) or count*dim (per-instance, planar layout);
+    b has size 1 or count.
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    count: int = static_field()
+    dim: int = static_field()
+    a: jnp.ndarray = None
+    b: jnp.ndarray = None
+
+    @property
+    def interleaved(self):
+        return False
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        v = arg.reshape(self.dim, self.count)
+        if self.a.size == self.dim:
+            a = jnp.asarray(self.a).reshape(self.dim, 1)
+        else:
+            a = jnp.asarray(self.a).reshape(self.dim, self.count)
+        b = jnp.asarray(self.b).reshape(-1)  # (1,) or (count,)
+
+        sq_norm = jnp.sum(a * a, axis=0)
+        iprod = jnp.sum(a * v, axis=0)
+        # projection onto the halfspace (inequality): only move if violated
+        s = jnp.maximum(iprod - b, 0.0) / sq_norm
+        return (v - s[None, :] * a).reshape(self.size)
+
+
+def _project_parabola_nd(x0_sq_norm, x0_norm, y0, alpha):
+    """Scale factor + height for projecting (x0, y0) onto the epigraph of
+    y >= alpha ||x||^2, via the closed-form depressed-cubic root
+    (helper.hpp:44-105).  Returns (v, y): x = (v/(2 alpha)) * x0/||x0||.
+    """
+    a = 2.0 * alpha * x0_norm
+    b = 2.0 * (1.0 - 2.0 * alpha * y0) / 3.0
+
+    # discriminant, written to avoid cancellation for b < 0
+    sq = jnp.power(jnp.abs(b), 1.5)
+    d = jnp.where(b < 0, (a - sq) * (a + sq), a * a + b * b * b)
+
+    # d >= 0: single real root via Cardano
+    c = jnp.cbrt(a + jnp.sqrt(jnp.maximum(d, 0.0)))
+    v_pos = jnp.where(jnp.abs(c) > 1e-6, c - b / c, 0.0)
+
+    # d < 0: trigonometric form (three real roots; take the relevant one)
+    safe_sq = jnp.where(sq > 0, sq, 1.0)
+    ratio = jnp.clip(a / safe_sq, -1.0, 1.0)
+    v_neg = 2.0 * jnp.sqrt(jnp.maximum(-b, 0.0)) * jnp.cos(jnp.arccos(ratio) / 3.0)
+
+    return jnp.where(d >= 0, v_pos, v_neg)
+
+
+@pytree_dataclass
+class ProxIndEpiQuad(ProxSeparableSum):
+    """Projection onto the epigraph of y >= a||x||^2 + <b, x> + c
+    (prox_ind_epi_quad.cu:42-77): complete the square, project onto the
+    standard parabola epigraph, undo the shift.
+
+    Layout as SOC: dim-1 x-components planar, then y.  a, c are scalars or
+    (count,); b is (dim-1,) * count planar.
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    count: int = static_field()
+    dim: int = static_field()
+    a: jnp.ndarray = None
+    b: jnp.ndarray = None
+    c: jnp.ndarray = None
+
+    @property
+    def interleaved(self):
+        return False
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        d = self.dim - 1
+        vecs = arg.reshape(self.dim, self.count)
+        x0, y0 = vecs[:d], vecs[d]
+
+        a = jnp.asarray(self.a).reshape(-1)  # (1,) or (count,)
+        c = jnp.asarray(self.c).reshape(-1)
+        b = jnp.asarray(self.b).reshape(d, -1)  # (d, 1) or (d, count)
+
+        shift = b / (2.0 * a)
+        xs = x0 + shift
+        sq_norm_b = jnp.sum(b * b, axis=0)
+        ys = y0 - c + sq_norm_b / (4.0 * a)
+
+        sq_norm_xs = jnp.sum(xs * xs, axis=0)
+        norm_xs = jnp.sqrt(sq_norm_xs)
+        inside = ys >= a * sq_norm_xs
+
+        v = _project_parabola_nd(sq_norm_xs, norm_xs, ys, a)
+        safe_norm = jnp.where(norm_xs > 0, norm_xs, 1.0)
+        scale = jnp.where(norm_xs > 0, (v / (2.0 * a)) / safe_norm, 0.0)
+        xp = xs * scale[None, :]
+        yp = a * jnp.sum(xp * xp, axis=0)
+
+        x_out = jnp.where(inside, x0, xp - shift)
+        y_out = jnp.where(inside, y0, yp + c - sq_norm_b / (4.0 * a))
+        return jnp.concatenate([x_out, y_out[None, :]]).reshape(self.size)
+
+
+@pytree_dataclass
+class ProxIndSum(Prox):
+    """Projection onto {x : sum over index set(s) = fixed total}, identity
+    elsewhere, with step-size-weighted correction (prox_ind_sum.cu:33-69).
+
+    inds is a (count, dim) int array of *local* indices into the segment;
+    the tau-weighted projection respects diagonal step sizes:
+
+        res[I_j] = arg[I_j] - tau[I_j] * (sum(arg[I]) - total) / sum(tau[I])
+
+    Optionally a second constraint set (inds2/sum2) is applied on top,
+    mirroring the `two_` flag.
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    count: int = static_field()
+    dim: int = static_field()
+    sum_target: float = static_field(default=1.0)
+    count2: int = static_field(default=0)
+    dim2: int = static_field(default=0)
+    sum_target2: float = static_field(default=1.0)
+    inds: jnp.ndarray = None
+    inds2: jnp.ndarray = None
+
+    @property
+    def diagsteps(self) -> bool:
+        return True
+
+    def _apply_set(self, res, arg, taus, inds, count, dim, total):
+        inds = inds.reshape(count, dim)
+        a = arg[inds]  # (count, dim) gather
+        t = taus[inds]
+        corr = (jnp.sum(a, axis=1) - total) / jnp.sum(t, axis=1)
+        upd = a - t * corr[:, None]
+        return res.at[inds.reshape(-1)].set(upd.reshape(-1))
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        taus = tau_diag * tau_scal
+        if invert_tau:
+            taus = 1.0 / taus
+        res = arg  # identity on untouched indices (prox_ind_sum.cu:112-114)
+        res = self._apply_set(
+            res, arg, taus, self.inds, self.count, self.dim, self.sum_target
+        )
+        if self.inds2 is not None:
+            res = self._apply_set(
+                res, arg, taus, self.inds2, self.count2, self.dim2, self.sum_target2
+            )
+        return res
+
+
+@pytree_dataclass
+class ProxIndRange(Prox):
+    """Projection onto range(A) for a (possibly sparse) matrix A:
+    result = A (A^T A)^{-1} A^T arg (prox_ind_range.cu:195-305).
+
+    The reference requires the user to pass AA = A^T A and Cholesky-
+    factorizes it with cuSOLVER; here the factorization is jnp.linalg.cholesky
+    at initialization (the factor is a pytree leaf).  A is stored dense:
+    usage (e.g. DCT bases) has ncols << nrows and the matvec maps onto
+    the MXU.
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    A: jnp.ndarray = None  # (size, k)
+    chol: jnp.ndarray = None  # lower Cholesky factor of A^T A, (k, k)
+
+    @staticmethod
+    def create(index, size, A, AA=None):
+        A = jnp.asarray(A)
+        if AA is None:
+            AA = A.T @ A
+        chol = jnp.linalg.cholesky(jnp.asarray(AA))
+        return ProxIndRange(index=index, size=size, A=A, chol=chol)
+
+    @property
+    def diagsteps(self) -> bool:
+        return True  # projection ignores tau entirely
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        from jax.scipy.linalg import cho_solve
+
+        atb = self.A.T @ arg
+        coef = cho_solve((self.chol, True), atb)
+        return self.A @ coef
