@@ -10,6 +10,13 @@ from .elemop import (
     ProxElemNorm2,
 )
 from .fun1d import FUN_1D
+from .fun2d import FUN_2D
+from .spectral import (
+    ProxElemEigen2x2,
+    ProxElemEigenNxN,
+    ProxElemMassNorm,
+    ProxElemSingularNx2,
+)
 from .standalone import (
     ProxIndEpiQuad,
     ProxIndHalfspace,
@@ -32,6 +39,11 @@ __all__ = [
     "ProxElemIndSimplex",
     "ProxElemIndSum",
     "FUN_1D",
+    "FUN_2D",
+    "ProxElemEigen2x2",
+    "ProxElemEigenNxN",
+    "ProxElemSingularNx2",
+    "ProxElemMassNorm",
     "ProxZero",
     "ProxIndSOC",
     "ProxIndHalfspace",
