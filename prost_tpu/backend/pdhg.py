@@ -215,8 +215,12 @@ def _eps_dual(problem, tols, dual_var_norm):
     )
 
 
-@partial(jax.jit, static_argnums=(3,), donate_argnums=(5,))
-def _pdhg_run(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state, until):
+def pdhg_step(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state):
+    """One PDHG iteration as a pure function on the state pytree.
+
+    This is the jit-free building block: ``_pdhg_run`` wraps it in a
+    ``lax.while_loop``; the multi-chip/batched paths vmap/shard it directly.
+    """
     Sigma = problem.scaling_left
     Tau = problem.scaling_right
     sqrt_S = jnp.sqrt(Sigma)
@@ -316,6 +320,14 @@ def _pdhg_run(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state, until
             )
 
         return dataclasses.replace(s, iteration=s.iteration + 1)
+
+    return body(state)
+
+
+@partial(jax.jit, static_argnums=(3,), donate_argnums=(5,))
+def _pdhg_run(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state, until):
+    def body(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
     def cond(s: PDHGState):
         return (s.iteration < until) & ~s.converged
