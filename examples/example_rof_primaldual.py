@@ -16,94 +16,81 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+from _common import add_std_args, flatten_image, force_cpu, synthetic_image
 
 
-def load_image(size):
-    """Grayscale test image: the reference uses images/lion.png; we build a
-    synthetic piecewise-smooth image so the example has no data dependency,
-    and add noise like the MATLAB script (f = im + 0.05 * randn)."""
-    rng = np.random.RandomState(42)
-    x = np.linspace(0, 1, size)
-    xx, yy = np.meshgrid(x, x, indexing="ij")
-    im = 0.4 * ((xx - 0.5) ** 2 + (yy - 0.5) ** 2 < 0.09) + 0.3 * (xx > 0.7)
-    im += 0.2 * np.sin(6 * np.pi * yy) * (xx < 0.25)
-    f = im + 0.05 * rng.randn(size, size)
-    return im.astype(np.float32), f.astype(np.float32)
-
-
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--size", type=int, default=256)
-    ap.add_argument("--cpu", action="store_true")
-    ap.add_argument("--gap-tol", type=float, default=1e-5)
-    args = ap.parse_args()
-
-    if args.cpu:
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
-
+def run(size=128, max_iters=10000, gap_tol=1e-5, verbose=True):
     import jax.numpy as jnp
 
     import prost_tpu as pt
-    from prost_tpu.backend import BackendPDHG, PDHGOptions
-    from prost_tpu.linop import BlockGradient2D, LinearOperator
-    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+    from prost_tpu import block, function
 
-    nx = ny = args.size
+    ny = nx = size
     n = nx * ny
     lmb = 16.0
-    _, f_img = load_image(args.size)
-    f = f_img.reshape(-1)
+    rng = np.random.RandomState(42)
+    im = synthetic_image(ny, nx, 1)
+    f = flatten_image(im) + 0.05 * rng.randn(n)
 
-    grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
-    linop = LinearOperator.create([grad])
-    prox_g = [
-        ProxElem1D(index=0, size=n, fun="square",
-                   coeffs=(1.0, f, lmb, 0.0, 0.0, 0.0, 0.0))
-    ]
-    pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2, interleaved=False,
-                       fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
-    prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
-    prob = pt.Problem.create(linop, prox_g=prox_g, prox_fstar=prox_fstar)
+    u = pt.Variable(n)
+    q = pt.Variable(2 * n)
+    prob = pt.MinMaxProblem([u], [q])
+    prob.add_function(u, function.sum_1d("square", 1, f, lmb))
+    prob.add_function(q, function.conjugate(function.sum_norm2(2, False, "abs")))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, 1))
 
-    K = prob.linop
+    core = prob.finalize()
+    K = core.linop
 
-    def energies(u, y):
+    def energies(x, y):
         """Primal and dual ROF energies (example_rof_pdgap.m:4-15)."""
-        g = np.asarray(K.apply(jnp.asarray(u)))
-        norms = np.sqrt(g[:n] ** 2 + g[n:] ** 2)
-        en_primal = lmb / 2 * np.sum((u - f) ** 2) + np.sum(norms)
-        div = np.asarray(K.apply_adjoint(jnp.asarray(y)))
-        en_dual = -1 / (2 * lmb) * np.sum(div**2) + np.sum(f * div)
+        g = np.asarray(K.apply(jnp.asarray(x, jnp.float32)))
+        en_primal = lmb / 2 * np.sum((x - f) ** 2) + np.sum(
+            np.sqrt(g[:n] ** 2 + g[n:] ** 2)
+        )
+        div = np.asarray(K.apply_adjoint(jnp.asarray(y, jnp.float32)))
+        en_dual = f @ div - 1 / (2 * lmb) * np.sum(div**2)
         return en_primal, en_dual
 
-    def pd_gap_callback(it, u, y):
-        ep, ed = energies(u, y)
-        gap_per_px = (ep - ed) / n
-        print(f"  it {it:5d}: primal={ep:.6f} dual={ed:.6f} "
-              f"gap/px={gap_per_px:.3e}")
-        return gap_per_px < args.gap_tol
+    state = {}
 
-    opts = pt.SolverOptions(
-        max_iters=10000, num_cback_calls=25, verbose=True,
+    def pd_gap_callback(it, x, y):
+        ep, ed = energies(x, y)
+        gap_per_px = (ep - ed) / n
+        state["gap"] = gap_per_px
+        if verbose:
+            print(f"  it {it:5d}: primal={ep:.6f} dual={ed:.6f} "
+                  f"gap/px={gap_per_px:.3e}")
+        return gap_per_px < gap_tol
+
+    opts = pt.options(
+        max_iters=max_iters, num_cback_calls=25, verbose=verbose,
         tol_rel_primal=0, tol_rel_dual=0,
         tol_abs_primal=0, tol_abs_dual=0,  # stop on gap only
         interm_cb=pd_gap_callback,
     )
-    solver = pt.Solver(
-        prob, lambda p, o: BackendPDHG(p, PDHGOptions(stepsize="boyd"), o), opts
-    )
-
     t0 = time.time()
-    res = solver.solve()
+    res = pt.solve(prob, pt.backend_pdhg(stepsize="boyd"), opts)
     dt = time.time() - t0
 
     ep, ed = energies(res.x, res.y)
-    print(f"solved in {dt:.3f}s, {res.iterations} iterations "
-          f"({res.iterations / dt:.1f} it/s)")
-    print(f"result: {res.result.value}, final gap/px = {(ep - ed) / n:.3e}")
-    return 0
+    if verbose:
+        print(f"solved in {dt:.3f}s, {res.iterations} iterations "
+              f"({res.iterations / dt:.1f} it/s)")
+        print(f"result: {res.result.value}, final gap/px = {(ep - ed) / n:.3e}")
+    return {"u": u.val, "gap_per_px": (ep - ed) / n, "energy": ep,
+            "iterations": res.iterations, "seconds": dt}
+
+
+def main():
+    ap = add_std_args(argparse.ArgumentParser(), size=256)
+    ap.add_argument("--gap-tol", type=float, default=1e-5)
+    args = ap.parse_args()
+    if args.cpu:
+        force_cpu()
+    out = run(size=args.size, max_iters=args.max_iters or 10000,
+              gap_tol=args.gap_tol)
+    return 0 if out["gap_per_px"] < args.gap_tol else 1
 
 
 if __name__ == "__main__":

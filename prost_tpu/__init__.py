@@ -14,6 +14,20 @@ modeling layer replacing the MATLAB one.
 from .config import ProstError, dtype, set_dtype
 from .problem import Problem, SCALING_ALPHA, SCALING_CUSTOM, SCALING_IDENTITY
 from .solver import ConvergenceResult, Solver, SolverOptions, SolverResult
+from .modeling import (
+    MinMaxProblem,
+    MinProblem,
+    SubVariable,
+    Variable,
+    backend_admm,
+    backend_pdhg,
+    eval_linop,
+    eval_prox,
+    get_all_variables,
+    options,
+    solve,
+)
+from .modeling import block, function
 
 __version__ = "0.1.0"
 
@@ -29,5 +43,18 @@ __all__ = [
     "Solver",
     "SolverOptions",
     "SolverResult",
+    "Variable",
+    "SubVariable",
+    "MinMaxProblem",
+    "MinProblem",
+    "solve",
+    "options",
+    "backend_pdhg",
+    "backend_admm",
+    "eval_prox",
+    "eval_linop",
+    "get_all_variables",
+    "function",
+    "block",
     "__version__",
 ]
