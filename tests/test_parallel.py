@@ -1,0 +1,127 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (conftest.py):
+batched ensembles match sequential solves; spatially-sharded PDHG matches
+the unsharded iteration."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import prost_tpu as pt
+from prost_tpu.backend import BackendPDHG, PDHGOptions
+from prost_tpu.linop import BlockGradient2D, LinearOperator
+from prost_tpu.parallel import BatchedPDHG, ShardedPDHG, make_mesh
+from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+
+def rof_problem(nx, ny, f, lmb):
+    n = nx * ny
+    grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
+    linop = LinearOperator.create([grad])
+    prox_g = [ProxElem1D(index=0, size=n, fun="square",
+                         coeffs=(1.0, f.astype(np.float32), lmb,
+                                 0.0, 0.0, 0.0, 0.0))]
+    pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2, interleaved=False,
+                       fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
+    return pt.Problem.create(linop, prox_g=prox_g, prox_fstar=prox_fstar)
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def _solver_opts():
+    return pt.SolverOptions(
+        verbose=False,
+        tol_rel_primal=1e-6, tol_rel_dual=1e-6,
+        tol_abs_primal=1e-6, tol_abs_dual=1e-6,
+    )
+
+
+def test_batched_matches_sequential():
+    nx = ny = 12
+    n = nx * ny
+    rng = np.random.RandomState(0)
+    fs = [rng.rand(n).astype(np.float32) for _ in range(4)]
+    problems = [rof_problem(nx, ny, f, 5.0) for f in fs]
+
+    batched = BatchedPDHG(problems, PDHGOptions(scale_steps_operator=False),
+                          _solver_opts())
+    state = batched.initial_state()
+    state = batched.run(state, 300)
+    xb, _, yb, _ = batched.current_solution(state)
+    xb = np.asarray(xb)
+
+    for i, prob in enumerate(problems):
+        b = BackendPDHG(prob, PDHGOptions(scale_steps_operator=False),
+                        _solver_opts())
+        s = b.initial_state()
+        s = b.run(s, 300)
+        np.testing.assert_allclose(xb[i], np.asarray(s.x), atol=1e-4)
+
+
+def test_batched_sharded_over_mesh():
+    nx = ny = 12
+    n = nx * ny
+    rng = np.random.RandomState(1)
+    mesh = make_mesh((8,), axis_names=("dp",))
+    fs = [rng.rand(n).astype(np.float32) for _ in range(8)]
+    problems = [rof_problem(nx, ny, f, 5.0) for f in fs]
+
+    batched = BatchedPDHG(problems, PDHGOptions(scale_steps_operator=False),
+                          _solver_opts(), mesh=mesh)
+    state = batched.initial_state()
+    # batch axis really is sharded over the 8 devices
+    assert len(state.x.sharding.device_set) == 8
+    state = batched.run(state, 200)
+    xb = np.asarray(state.x)
+
+    b = BackendPDHG(problems[3], PDHGOptions(scale_steps_operator=False),
+                    _solver_opts())
+    s = b.run(b.initial_state(), 200)
+    np.testing.assert_allclose(xb[3], np.asarray(s.x), atol=1e-4)
+
+
+def test_sharded_spatial_matches_unsharded():
+    nx = ny = 16
+    n = nx * ny
+    rng = np.random.RandomState(2)
+    f = rng.rand(n).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 5.0)
+    mesh = make_mesh((1, 8), axis_names=("dp", "sp"))
+
+    opts = PDHGOptions(scale_steps_operator=False)
+    sharded = ShardedPDHG(prob, opts, _solver_opts(), mesh=mesh)
+    s_state = sharded.initial_state()
+    assert len(s_state.x.sharding.device_set) == 8
+    s_state = sharded.run(s_state, 150)
+
+    plain = BackendPDHG(prob, opts, _solver_opts())
+    p_state = plain.run(plain.initial_state(), 150)
+
+    np.testing.assert_allclose(
+        np.asarray(s_state.x), np.asarray(p_state.x), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(s_state.y), np.asarray(p_state.y), atol=1e-4
+    )
+
+
+def test_sharded_spatial_full_solve_converges():
+    nx = ny = 16
+    n = nx * ny
+    rng = np.random.RandomState(3)
+    f = rng.rand(n).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 5.0)
+    mesh = make_mesh((1, 8), axis_names=("dp", "sp"))
+
+    solver = pt.Solver(
+        prob,
+        lambda p, o: ShardedPDHG(p, PDHGOptions(), o, mesh=mesh),
+        pt.SolverOptions(max_iters=2000, verbose=False,
+                         tol_rel_primal=1e-5, tol_rel_dual=1e-5,
+                         tol_abs_primal=1e-5, tol_abs_dual=1e-5),
+    )
+    res = solver.solve()
+    assert res.result == pt.ConvergenceResult.CONVERGED
