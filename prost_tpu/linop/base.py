@@ -74,13 +74,18 @@ class LinearOperator:
         blocks = tuple(blocks)
         if not blocks:
             raise ProstError("LinearOperator: no blocks.")
-        for i, a in enumerate(blocks):
-            for b in blocks[i + 1 :]:
-                if _rects_overlap(a, b):
-                    raise ProstError(
-                        f"LinearOperator: blocks overlap at "
-                        f"({a.row},{a.col}) and ({b.row},{b.col})."
-                    )
+        from .._native import host
+
+        hit = host.check_block_overlap(
+            [b.row for b in blocks], [b.col for b in blocks],
+            [b.nrows for b in blocks], [b.ncols for b in blocks],
+        )
+        if hit is not None:
+            a, b = blocks[hit[0]], blocks[hit[1]]
+            raise ProstError(
+                f"LinearOperator: blocks overlap at "
+                f"({a.row},{a.col}) and ({b.row},{b.col})."
+            )
         nrows = max(b.row + b.nrows for b in blocks)
         ncols = max(b.col + b.ncols for b in blocks)
         return LinearOperator(nrows=nrows, ncols=ncols, blocks=blocks)

@@ -64,9 +64,13 @@ class BlockSparse(Block):
 
     @staticmethod
     def create(row, col, nrows, ncols, matrix) -> "BlockSparse":
+        from .._native import host
+
         r, c, v = _as_coo(nrows, ncols, matrix)
-        fwd = np.lexsort((c, r))
-        adj = np.lexsort((r, c))
+        r = np.ascontiguousarray(r, np.int32)
+        c = np.ascontiguousarray(c, np.int32)
+        fwd = host.coo_sort_perm(r, c)
+        adj = host.coo_sort_perm(c, r)
         dt = config_dtype()
         return BlockSparse(
             row=row, col=col, nrows=nrows, ncols=ncols,

@@ -26,19 +26,21 @@ SCALING_CUSTOM = "custom"
 
 def _fill_with_zero_prox(proxs: list[Prox], n: int, name: str) -> list[Prox]:
     """Fill uncovered index ranges with ProxZero (AddZeroProx,
-    problem.cu:93-158)."""
+    problem.cu:93-158).  Gap computation runs in the native host runtime
+    (_native/src/prost_host.cpp: ph_prox_gaps)."""
     if not proxs:
         return proxs
-    out = list(proxs)
-    s = sorted(proxs, key=lambda p: p.index)
-    if s[0].index > 0:
-        out.append(ProxZero(index=0, size=s[0].index))
-    for a, b in zip(s[:-1], s[1:]):
-        if a.end < b.index - 1:
-            out.append(ProxZero(index=a.end + 1, size=b.index - a.end - 1))
-    if s[-1].end < n - 1:
-        out.append(ProxZero(index=s[-1].end + 1, size=n - 1 - s[-1].end))
-    return out
+    from ._native import host
+
+    try:
+        gaps = host.prox_gaps(
+            [p.index for p in proxs], [p.size for p in proxs], n
+        )
+    except ValueError:
+        raise ProstError(f"{name}: prox operators overlap.")
+    return list(proxs) + [
+        ProxZero(index=start, size=size) for start, size in gaps
+    ]
 
 
 @pytree_dataclass
