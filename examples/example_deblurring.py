@@ -77,7 +77,9 @@ def run(size=128, max_iters=25000, verbose=True):
     prob = pt.MinProblem([u], [v, g])
     prob.add_function(v, function.sum_1d("square", 1, f_blurred, lmb))
     prob.add_function(g, function.sum_norm2(2, False, "abs"))
-    prob.add_constraint(u, v, block.sparse(B))
+    # native conv block (lax.conv on the MXU) instead of the reference's
+    # sparse convmtx2 matrix; block.sparse(B) gives the identical operator
+    prob.add_constraint(u, v, block.conv2d(nx, ny, 1, kernel))
     prob.add_constraint(u, g, block.gradient2d(nx, ny, 1))
 
     opts = pt.options(

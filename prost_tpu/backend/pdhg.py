@@ -190,7 +190,13 @@ class BackendPDHG:
     # ------------------------------------------------------------------
     def current_solution(self, state: PDHGState):
         """(x, z, y, w) with z, w reconstructed from finite differences of
-        the iterates (backend_pdhg.cu:513-563)."""
+        the iterates (backend_pdhg.cu:513-563).
+
+        With residual_iter > 1 the *_prev iterates date from the most
+        recent residual iteration (they are only persisted there — see
+        pdhg_step); exact parity with the reference at residual_iter=1,
+        and the difference vanishes at convergence (z -> Kx, w -> -K^T y).
+        """
         p = self.problem
         w = (state.x_prev - state.x) / (p.scaling_right * state.tau) - state.kty_prev
         z = (state.y_prev - state.y) / (state.sigma * p.scaling_left) + (
@@ -301,25 +307,37 @@ def pdhg_step(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state):
         y_new = apply_proxs(prox_fstar, arg_y, Sigma, s.sigma, False)
         kty_new = problem.linop.apply_adjoint(y_new)
 
-        s = dataclasses.replace(
-            s,
-            x=x_new, y=y_new, kx=kx_new, kty=kty_new,
-            x_prev=s.x, y_prev=s.y, kx_prev=s.kx, kty_prev=s.kty,
+        new = dataclasses.replace(
+            s, x=x_new, y=y_new, kx=kx_new, kty=kty_new,
         )
 
-        # residuals + residual-based adaptation every residual_iter iters
+        # Residuals + step adaptation every residual_iter iterations.
+        # The previous iterates feed ONLY the residual formulas, so they
+        # are persisted into the state only inside this branch: on the
+        # other (residual_iter - 1)/residual_iter iterations the *_prev
+        # buffers pass through the loop carry untouched (free in XLA's
+        # donated while-loop buffers), halving the per-iteration HBM
+        # writes vs. the reference's always-rotate scheme
+        # (backend_pdhg.cu:374 swaps every iteration).
         ri = max(int(opts.residual_iter), 1)
         do_res = (s.iteration % ri == 0)
-        s = lax.cond(do_res, compute_residuals, lambda q: q, s)
+
+        def with_prevs(q: PDHGState) -> PDHGState:
+            q = dataclasses.replace(
+                q, x_prev=s.x, y_prev=s.y, kx_prev=s.kx, kty_prev=s.kty,
+            )
+            return compute_residuals(q)
+
+        new = lax.cond(do_res, with_prevs, lambda q: q, new)
 
         # alg2 acceleration runs every iteration (backend_pdhg.cu:483-488)
         if opts.stepsize == "alg2":
-            theta = 1.0 / jnp.sqrt(1.0 + 2.0 * opts.alg2_gamma * s.tau)
-            s = dataclasses.replace(
-                s, theta=theta, tau=theta * s.tau, sigma=s.sigma / theta
+            theta = 1.0 / jnp.sqrt(1.0 + 2.0 * opts.alg2_gamma * new.tau)
+            new = dataclasses.replace(
+                new, theta=theta, tau=theta * new.tau, sigma=new.sigma / theta
             )
 
-        return dataclasses.replace(s, iteration=s.iteration + 1)
+        return dataclasses.replace(new, iteration=new.iteration + 1)
 
     return body(state)
 

@@ -10,6 +10,7 @@ from .blocks import (
     BlockSparse,
     BlockZero,
 )
+from .conv import BlockConv2D
 from .gradient import BlockGradient2D, BlockGradient3D
 
 __all__ = [
@@ -22,6 +23,7 @@ __all__ = [
     "BlockKronId",
     "BlockIdKron",
     "BlockZero",
+    "BlockConv2D",
     "BlockGradient2D",
     "BlockGradient3D",
 ]

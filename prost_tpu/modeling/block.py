@@ -101,3 +101,15 @@ def id_kron_sparse(K, ncopies):
 def id_kron_dense(K, ncopies):
     """kron(I_ncopies, K) for dense K (id_kron_dense.m)."""
     return id_kron_sparse(K, ncopies)
+
+
+def conv2d(nx, ny, L, kernel):
+    """Full 2D convolution with a (ky, kx) kernel, channels independent —
+    the TPU-native replacement for the reference's sparse convmtx2 pattern
+    (example_deblurring.m:33-37).  Output size (nx+kx-1)*(ny+ky-1)*L."""
+    from ..linop import BlockConv2D
+
+    ky, kx = np.asarray(kernel).shape
+    sz = ((nx + kx - 1) * (ny + ky - 1) * L, nx * ny * L)
+    return lambda row, col, nrows, ncols: (
+        BlockConv2D.create(row, col, nx, ny, L, kernel), sz)

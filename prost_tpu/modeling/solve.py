@@ -24,7 +24,12 @@ class Backend:
 
     def create(self, problem, solver_opts):
         if self.kind == "pdhg":
-            return BackendPDHG(problem, self.opts, solver_opts)
+            # FusedROFPDHG auto-selects the fused Pallas iteration when the
+            # problem structure matches (and a TPU is present); otherwise
+            # it behaves exactly like BackendPDHG
+            from ..ops import FusedROFPDHG
+
+            return FusedROFPDHG(problem, self.opts, solver_opts)
         return BackendADMM(problem, self.opts, solver_opts)
 
 

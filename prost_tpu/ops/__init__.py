@@ -1,0 +1,11 @@
+"""Hand-fused Pallas kernels for hot paths.
+
+The generic solver path is pure XLA (jnp inside lax.while_loop) and works
+for every problem; these kernels are speed-of-light specializations for
+the dominant workload shapes (imaging problems on gradient operators),
+selected automatically when the problem structure matches.
+"""
+
+from .fused_rof import FusedROFPDHG, match_rof_structure
+
+__all__ = ["FusedROFPDHG", "match_rof_structure"]

@@ -162,11 +162,39 @@ def fun_trunclin(x0, tau, alpha, beta):
 
 
 def fun_lq_plus_eps(x0, tau, alpha, beta):
-    # The reference leaves this unimplemented (returns 0,
-    # function_1d.hpp:293-306).  We return the argument (prox of the zero
-    # function) which is at least non-destructive; a real implementation
-    # is tracked as future work.
-    return x0
+    """prox of (|z| + beta)^alpha, alpha >= 1, beta >= 0.
+
+    The reference leaves this as a TODO stub returning 0
+    (function_1d.hpp:293-306); here the convex case is implemented
+    properly.  For z >= 0 the optimality condition is
+
+        z - |x0| + tau * alpha * (z + beta)^(alpha - 1) = 0
+
+    solved by Newton from z = |x0| (the objective is convex for
+    alpha >= 1, so the stationary point is the minimizer whenever it is
+    nonnegative; otherwise the constrained minimizer is z = 0 iff the
+    derivative at 0+ is nonnegative, i.e. |x0| <= tau*alpha*beta^(alpha-1)).
+    alpha < 1 falls back to the prox of the shifted |z|^alpha at beta = 0
+    (= fun_lq), matching the reference's only supported surrogate.
+    """
+    x0 = jnp.asarray(x0)
+    absx = jnp.abs(x0)
+    alpha = jnp.broadcast_to(jnp.asarray(alpha, dtype=x0.dtype), x0.shape)
+    beta = jnp.broadcast_to(jnp.asarray(beta, dtype=x0.dtype), x0.shape)
+
+    def body(_, z):
+        zb = jnp.maximum(z + beta, 1e-20)
+        p = jnp.power(zb, alpha - 1.0)
+        d1 = z - absx + tau * alpha * p
+        d2 = 1.0 + tau * alpha * (alpha - 1.0) * p / zb
+        return jnp.clip(z - d1 / d2, 0.0, absx)
+
+    z = lax.fori_loop(0, 30, body, absx)
+    # subgradient check at z = 0: stay at 0 if |x0| <= tau a b^(a-1)
+    slope0 = tau * alpha * jnp.power(jnp.maximum(beta, 1e-20), alpha - 1.0)
+    z = jnp.where(absx <= slope0, 0.0, z)
+    convex = z * jnp.sign(x0)
+    return jnp.where(alpha >= 1.0, convex, fun_lq(x0, tau, alpha, beta))
 
 
 FUN_1D = {

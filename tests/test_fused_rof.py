@@ -1,0 +1,163 @@
+"""Fused Pallas ROF iteration (ops/fused_rof.py) vs the generic PDHG path.
+
+Runs in Pallas interpreter mode on CPU; the real-TPU path is exercised by
+bench.py.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import prost_tpu as pt
+from prost_tpu.backend import BackendPDHG, PDHGOptions
+from prost_tpu.linop import BlockGradient2D, LinearOperator
+from prost_tpu.ops import FusedROFPDHG, match_rof_structure
+from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+
+def rof_problem(nx, ny, f, lmb):
+    n = nx * ny
+    grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
+    prox_g = [ProxElem1D(index=0, size=n, fun="square",
+                         coeffs=(1.0, f.astype(np.float32), lmb,
+                                 0.0, 0.0, 0.0, 0.0))]
+    pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2, interleaved=False,
+                       fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    return pt.Problem.create(
+        LinearOperator.create([grad]), prox_g=prox_g,
+        prox_fstar=[ProxMoreau(index=0, size=2 * n, child=pn)],
+    )
+
+
+def _opts():
+    return pt.SolverOptions(verbose=False, tol_rel_primal=0, tol_rel_dual=0,
+                            tol_abs_primal=0, tol_abs_dual=0)
+
+
+def test_match_rof_structure():
+    f = np.random.RandomState(0).rand(16 * 16).astype(np.float32)
+    prob = rof_problem(16, 16, f, 8.0)
+    m = match_rof_structure(prob)
+    assert m is not None
+    assert m["nx"] == 16 and m["lmb"] == 8.0
+    np.testing.assert_allclose(np.asarray(m["f"]).ravel(), f)
+
+
+def _tv_problem(nx, ny, data_fun, data_coeffs, fstar_direct=None):
+    n = nx * ny
+    grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
+    prox_g = [ProxElem1D(index=0, size=n, fun=data_fun, coeffs=data_coeffs)]
+    if fstar_direct is None:
+        pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2,
+                           interleaved=False, fun="abs",
+                           coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+        prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
+    else:
+        prox_fstar = [fstar_direct]
+    return pt.Problem.create(
+        LinearOperator.create([grad]), prox_g=prox_g, prox_fstar=prox_fstar)
+
+
+def test_match_tvl1_and_wsquare_structures():
+    nx = ny = 8
+    n = nx * ny
+    rng = np.random.RandomState(1)
+    f = rng.rand(n).astype(np.float32)
+    # TV-L1: abs data term, dual ball via direct norm2 ind_leq0
+    ball = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2,
+                         interleaved=False, fun="ind_leq0",
+                         coeffs=(2.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    m = match_rof_structure(
+        _tv_problem(nx, ny, "abs", (1.0, f, 1.5, 0.0, 0.0, 0.0, 0.0),
+                    fstar_direct=ball))
+    assert m is not None and m["dataterm"] == "abs"
+    assert m["radius"] == pytest.approx(0.5)  # b/a = 1/2
+
+    # inpainting: masked square (a = mask)
+    mask = (rng.rand(n) > 0.3).astype(np.float32)
+    m2 = match_rof_structure(
+        _tv_problem(nx, ny, "square",
+                    (mask, f * mask, 7.0, 0.0, 0.0, 0.0, 0.0)))
+    assert m2 is not None and m2["dataterm"] == "wsquare"
+    np.testing.assert_allclose(np.asarray(m2["w"]).ravel(), mask**2)
+
+    # huber data term: genuinely unsupported -> no match
+    assert match_rof_structure(
+        _tv_problem(nx, ny, "huber", (1.0, f, 1.0, 0.0, 0.0, 0.5, 0.0))
+    ) is None
+
+
+@pytest.mark.parametrize("data_fun,coeffs", [
+    ("abs", "tvl1"),
+    ("square", "masked"),
+])
+def test_fused_tvl1_inpaint_match_generic(data_fun, coeffs):
+    nx = ny = 24
+    n = nx * ny
+    rng = np.random.RandomState(7)
+    f = rng.rand(n).astype(np.float32)
+    if coeffs == "tvl1":
+        cf = (1.0, f, 1.0, 0.0, 0.0, 0.0, 0.0)
+    else:
+        mask = (rng.rand(n) > 0.4).astype(np.float32)
+        cf = (mask, f * mask, 7.0, 0.0, 0.0, 0.0, 0.0)
+    prob = _tv_problem(nx, ny, data_fun, cf)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 60)
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.rof is not None
+    fs = fus.run(fus.initial_state(), 60)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+
+
+@pytest.mark.parametrize("residual_iter", [1, 7, 10])
+def test_fused_matches_generic(residual_iter):
+    nx = ny = 24
+    rng = np.random.RandomState(2)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 60)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.rof is not None
+    fs = fus.run(fus.initial_state(), 60)
+
+    assert int(fs.iteration) == int(gs.iteration) == 60
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+
+def test_fused_full_solve_converges():
+    nx = ny = 24
+    rng = np.random.RandomState(3)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(max_iters=3000, verbose=False,
+                             tol_rel_primal=1e-6, tol_rel_dual=1e-6,
+                             tol_abs_primal=1e-6, tol_abs_dual=1e-6)
+    solver = pt.Solver(
+        prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True), sopts)
+    res = solver.solve()
+    assert res.result == pt.ConvergenceResult.CONVERGED
+
+
+def test_cpu_without_interpret_falls_back():
+    f = np.random.RandomState(4).rand(16 * 16).astype(np.float32)
+    prob = rof_problem(16, 16, f, 8.0)
+    b = FusedROFPDHG(prob, PDHGOptions(scale_steps_operator=False), _opts())
+    assert b.rof is None  # CPU, no interpret -> generic path
+    s = b.run(b.initial_state(), 10)
+    assert int(s.iteration) == 10

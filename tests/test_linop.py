@@ -207,3 +207,30 @@ def test_dual_linop_is_negative_transpose():
                                -m @ y, atol=1e-4)
     np.testing.assert_allclose(np.asarray(D.row_sum(1.0)),
                                np.abs(m.T).sum(axis=1), atol=1e-4)
+
+
+def test_conv2d_block_vs_convmtx():
+    """BlockConv2D vs the explicit sparse convolution matrix (the
+    reference's deblurring pattern, example_deblurring.m:33-37)."""
+    import os, sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+    from example_deblurring import convmtx2, motion_kernel
+    from prost_tpu.linop import BlockConv2D
+
+    nx, ny = 12, 10
+    kernel = motion_kernel(5, 30.0)
+    kernel[0, 1] += 0.3
+    B, ny2, nx2 = convmtx2(kernel, ny, nx)
+    blk = BlockConv2D.create(0, 0, nx, ny, 1, kernel)
+    rng = np.random.RandomState(0)
+    u = rng.randn(nx * ny).astype(np.float32)
+    v = rng.randn(ny2 * nx2).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(blk.apply(jnp.asarray(u))), B @ u,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(blk.apply_adjoint(jnp.asarray(v))), B.T @ v, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(blk.row_sum(1.0)), np.abs(B) @ np.ones(nx * ny), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(blk.col_sum(1.0)), np.abs(B).T @ np.ones(ny2 * nx2),
+        atol=1e-5)

@@ -376,3 +376,20 @@ def test_nonexpansiveness():
         px = run_prox(p, x, tau_scal=0.8)
         py = run_prox(p, y, tau_scal=0.8)
         assert np.linalg.norm(px - py) <= np.linalg.norm(x - y) * (1 + 1e-5)
+
+
+def test_lq_plus_eps_oracle():
+    """prox of (|z|+beta)^alpha vs grid minimization (the reference stubs
+    this function out, function_1d.hpp:293-306 — we implement it)."""
+    from prost_tpu.prox.fun1d import fun_lq_plus_eps
+
+    rng = np.random.RandomState(0)
+    for alpha, beta in [(1.5, 0.3), (2.0, 0.1), (1.0, 0.5)]:
+        x0 = rng.randn(20) * 3
+        tau = 0.7
+        z = np.linspace(-10, 10, 100001)
+        got = np.asarray(fun_lq_plus_eps(jnp.asarray(x0), tau, alpha, beta))
+        for i in range(20):
+            en = (z - x0[i]) ** 2 / (2 * tau) + (np.abs(z) + beta) ** alpha
+            zopt = z[np.argmin(en)]
+            assert abs(got[i] - zopt) < 5e-3
