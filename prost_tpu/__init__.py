@@ -11,7 +11,7 @@ operators, PDHG and graph-projection ADMM backends with diagonal
 modeling layer replacing the MATLAB one.
 """
 
-from .config import ProstError, dtype, set_dtype
+from .config import ProstError, dtype, list_devices, set_device, set_dtype
 from .problem import Problem, SCALING_ALPHA, SCALING_CUSTOM, SCALING_IDENTITY
 from .solver import ConvergenceResult, Solver, SolverOptions, SolverResult
 from .modeling import (
@@ -35,6 +35,8 @@ __all__ = [
     "ProstError",
     "dtype",
     "set_dtype",
+    "list_devices",
+    "set_device",
     "Problem",
     "SCALING_ALPHA",
     "SCALING_CUSTOM",

@@ -31,3 +31,19 @@ def dtype():
 class ProstError(Exception):
     """Framework-level error (mirrors prost::Exception,
     /root/reference/include/prost/exception.hpp:29-41)."""
+
+
+def list_devices():
+    """Available accelerator devices (prost.list_gpus analog,
+    prost.cpp:287-297)."""
+    import jax
+
+    return jax.devices()
+
+
+def set_device(index: int) -> None:
+    """Select the default device for subsequent computation
+    (prost.set_gpu analog, prost.cpp:299-303)."""
+    import jax
+
+    jax.config.update("jax_default_device", jax.devices()[index])
