@@ -11,16 +11,15 @@ baseline bar.
 """
 
 import json
-import os
 import sys
 import time
 
 import numpy as np
 
-# persistent compilation cache: first-ever run pays the (remote) compiles,
-# subsequent runs start in seconds
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      os.path.join(os.path.dirname(__file__), ".jax_cache"))
+# NOTE: do NOT enable JAX_COMPILATION_CACHE_DIR here — the axon
+# remote-compile plugin deadlocks with the persistent cache (verified:
+# jax init + first op are fine, but the first cached compile never
+# returns).  Compiles are paid per run (~2-4 min on the tunnel).
 
 
 def build_rof(nx, ny, lmb=16.0, seed=42):
@@ -59,8 +58,15 @@ def build_rof(nx, ny, lmb=16.0, seed=42):
     # and falls back to the generic XLA path off-TPU.
     from prost_tpu.ops import FusedROFPDHG
 
+    # scale_steps_operator=False skips the normest power iteration (one
+    # fewer remote compile; the alpha preconditioner already normalizes
+    # ||Sigma^1/2 K Tau^1/2|| ~ 1, so tau0 = sigma0 = 1 is the operating
+    # point normest would pick anyway)
     backend = FusedROFPDHG(
-        prob, PDHGOptions(stepsize="boyd", residual_iter=10), opts
+        prob,
+        PDHGOptions(stepsize="boyd", residual_iter=10,
+                    scale_steps_operator=False),
+        opts,
     )
     return backend
 

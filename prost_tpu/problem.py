@@ -100,6 +100,23 @@ class Problem:
         check_domain(prox_fstar, nrows, "prox_fstar")
 
         dt = config_dtype()
+        # Construction-time math (row/col sums, preconditioner averaging)
+        # runs on the host CPU backend: these are a handful of tiny eager
+        # ops, and routing them through a remote-compiled accelerator costs
+        # minutes of compile round-trips (measured 464s vs 2s for ROF 512
+        # on the tunneled TPU).  The resulting arrays transfer to the
+        # accelerator once, when the jitted solver first consumes them.
+        cpu = _host_cpu_device()
+        with jax.default_device(cpu) if cpu is not None else _nullcontext():
+            return Problem._create_on_host(
+                linop, prox_g, prox_f, prox_gstar, prox_fstar, nrows, ncols,
+                scaling, scaling_alpha, scaling_left, scaling_right, dt,
+            )
+
+    @staticmethod
+    def _create_on_host(linop, prox_g, prox_f, prox_gstar, prox_fstar,
+                        nrows, ncols, scaling, scaling_alpha, scaling_left,
+                        scaling_right, dt):
         if scaling == SCALING_ALPHA:
             # Pock-Chambolle alpha preconditioner (problem.cu:262-287):
             #   Sigma_jj = 1 / sum_k |K_jk|^alpha
@@ -169,6 +186,21 @@ class Problem:
             rng.rand(self.ncols), dtype=self.scaling_right.dtype
         )
         return _normest_jit(self, x0, tol, max_iters)
+
+
+def _host_cpu_device():
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+class _nullcontext:
+    def __enter__(self):
+        return None
+
+    def __exit__(self, *a):
+        return False
 
 
 def _average_preconditioner(precond, proxs):
