@@ -77,15 +77,18 @@ def main():
     backend = build_rof(512, 512)
     state = backend.initial_state()
 
-    # warmup / compile
+    # warmup / compile.  Synchronize via a host-side scalar read:
+    # block_until_ready alone has been observed not to wait on the axon
+    # remote platform, which silently inflates the timing 30x.
     state = backend.run(state, 20)
-    jax.block_until_ready(state.x)
+    assert int(state.iteration) == 20
 
     iters = 2000
     t0 = time.perf_counter()
     state = backend.run(state, 20 + iters)
-    jax.block_until_ready(state.x)
+    done_iters = int(state.iteration)  # host read = hard sync point
     dt = time.perf_counter() - t0
+    assert done_iters == 20 + iters, done_iters
 
     its_per_sec = iters / dt
     baseline = 3000.0

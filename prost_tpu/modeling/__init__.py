@@ -7,7 +7,7 @@ spec`) is preserved, but factories construct the prox / block objects
 directly — there is no serialization boundary to cross.
 """
 
-from . import block, function
+from . import block, function, wire
 from .problems import MinMaxProblem, MinProblem
 from .solve import (
     Backend,
@@ -36,4 +36,5 @@ __all__ = [
     "eval_prox",
     "eval_linop",
     "get_all_variables",
+    "wire",
 ]
