@@ -73,6 +73,25 @@ class Solver:
         if opts.verbose:
             print(f"# primal variables: {problem.ncols}")
             print(f"# dual variables: {problem.nrows}")
+            self._print_memory_report()
+
+    @staticmethod
+    def _print_memory_report():
+        """Device memory report (solver.cu:99-114 prints free/total GPU
+        memory; here we read the live allocator stats when available)."""
+        from .util.profiling import memory_stats
+
+        try:
+            stats = memory_stats()
+        except Exception:
+            return
+        in_use = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if in_use is not None and limit:
+            print(
+                f"# device memory: {in_use / 2**20:.1f} MB in use / "
+                f"{limit / 2**20:.1f} MB"
+            )
 
     def solve(self) -> SolverResult:
         opts = self.opts

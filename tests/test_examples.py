@@ -127,3 +127,23 @@ def test_rof_admm_matches_pdhg_energy():
     out_pd = run_pd(size=24, max_iters=4000, gap_tol=1e-6, verbose=False)
     # same problem (same seed/synth image): energies agree to 0.1%
     assert abs(out_admm["energy"] - out_pd["energy"]) < 2e-3 * out_pd["energy"]
+
+
+def test_ensemble_throughput_runs():
+    from example_ensemble import run
+
+    out = run(size=16, batch=8, iters=50, verbose=False)
+    assert out["throughput"] > 0
+    assert out["x"].shape == (8, 256)
+    assert np.isfinite(out["x"]).all()
+
+
+def test_custom_prox_example():
+    import subprocess, sys as _sys
+    r = subprocess.run(
+        [_sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                       "examples", "example_custom_prox.py"),
+         "--cpu"],
+        capture_output=True, text=True, timeout=240)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "result: converged" in r.stdout
