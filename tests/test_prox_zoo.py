@@ -393,3 +393,25 @@ def test_lq_plus_eps_oracle():
             en = (z - x0[i]) ** 2 / (2 * tau) + (np.abs(z) + beta) ** alpha
             zopt = z[np.argmin(en)]
             assert abs(got[i] - zopt) < 5e-3
+
+
+def test_conjugate_transform_shift_identity():
+    """conjugate(f(. - b)) == transform(conjugate(f); d=b): the conjugate
+    shifting formula (test_prox_conj_trans.m), 10 random seeds."""
+    from prost_tpu.modeling import function as fn
+    import prost_tpu as pt
+
+    for seed in range(10):
+        rng = np.random.RandomState(seed)
+        N = 200
+        b = rng.rand(N)
+        y = rng.rand(N)
+        tau = float(rng.rand())
+        Tau = rng.rand(N)
+
+        x1, _ = pt.eval_prox(
+            fn.conjugate(fn.sum_1d("abs", 1, b, 1, 0, 0)), y, tau, Tau)
+        x2, _ = pt.eval_prox(
+            fn.transform(fn.conjugate(fn.sum_1d("abs", 1, 0, 1, 0, 0)),
+                         1, 0, 1, b, 0), y, tau, Tau)
+        np.testing.assert_allclose(x1, x2, atol=1e-5)
