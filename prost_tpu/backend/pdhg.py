@@ -221,6 +221,62 @@ def _eps_dual(problem, tols, dual_var_norm):
     )
 
 
+def residual_and_adapt(problem, opts: PDHGOptions, tols, s: PDHGState,
+                       primal_res, primal_norm, dual_res, dual_norm, it):
+    """Store residual norms, test convergence, and run the residual-based
+    step-size adaptation (goldstein backend_pdhg.cu:443-460 / boyd
+    backend_pdhg.cu:462-476).  ``it`` is the pre-increment iteration counter
+    of the residual iteration.  Shared by the generic path and the fused
+    Pallas path (which computes the norms in-kernel)."""
+    s = dataclasses.replace(
+        s,
+        primal_residual=primal_res,
+        primal_var_norm=primal_norm,
+        dual_residual=dual_res,
+        dual_var_norm=dual_norm,
+    )
+
+    eps_pri = _eps_primal(problem, tols, primal_norm)
+    eps_dua = _eps_dual(problem, tols, dual_norm)
+    s = dataclasses.replace(
+        s, converged=(primal_res < eps_pri) & (dual_res < eps_dua)
+    )
+
+    if opts.stepsize == "goldstein":
+        scale = eps_dua / eps_pri
+        up = s.dual_residual > scale * s.primal_residual * opts.arg_delta
+        dn = s.dual_residual < scale * s.primal_residual / opts.arg_delta
+        fac = 1.0 - s.arg_alpha
+        tau = jnp.where(up, s.tau / fac, jnp.where(dn, s.tau * fac, s.tau))
+        sigma = jnp.where(
+            up, s.sigma * fac, jnp.where(dn, s.sigma / fac, s.sigma)
+        )
+        arg_alpha = jnp.where(up | dn, s.arg_alpha * opts.arg_nu, s.arg_alpha)
+        s = dataclasses.replace(s, tau=tau, sigma=sigma, arg_alpha=arg_alpha)
+    elif opts.stepsize == "boyd":
+        it = it.astype(s.tau.dtype)
+        c1 = (s.dual_residual < eps_dua) & (opts.arb_tau * it > s.arb_l)
+        c2 = (
+            (s.primal_residual < eps_pri)
+            & (opts.arb_tau * it > s.arb_u)
+            & ~c1
+        )
+        tau = jnp.where(
+            c1, s.tau / opts.arb_delta,
+            jnp.where(c2, s.tau * opts.arb_delta, s.tau),
+        )
+        sigma = jnp.where(
+            c1, s.sigma * opts.arb_delta,
+            jnp.where(c2, s.sigma / opts.arb_delta, s.sigma),
+        )
+        arb_u = jnp.where(c1, it, s.arb_u)
+        arb_l = jnp.where(c2, it, s.arb_l)
+        s = dataclasses.replace(
+            s, tau=tau, sigma=sigma, arb_l=arb_l, arb_u=arb_u
+        )
+    return s
+
+
 def pdhg_step(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state):
     """One PDHG iteration as a pure function on the state pytree.
 
@@ -240,59 +296,12 @@ def pdhg_step(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state):
         w_hat = (s.x_prev - s.x) / (s.tau * sqrt_T) - sqrt_T * s.kty_prev
         d_diff = w_hat + sqrt_T * s.kty
 
-        primal_res = jnp.linalg.norm(p_diff)
-        primal_norm = jnp.linalg.norm(z_hat)
-        dual_res = jnp.linalg.norm(d_diff)
-        dual_norm = jnp.linalg.norm(w_hat)
-
-        s = dataclasses.replace(
-            s,
-            primal_residual=primal_res,
-            primal_var_norm=primal_norm,
-            dual_residual=dual_res,
-            dual_var_norm=dual_norm,
+        return residual_and_adapt(
+            problem, opts, tols, s,
+            jnp.linalg.norm(p_diff), jnp.linalg.norm(z_hat),
+            jnp.linalg.norm(d_diff), jnp.linalg.norm(w_hat),
+            s.iteration,
         )
-
-        eps_pri = _eps_primal(problem, tols, primal_norm)
-        eps_dua = _eps_dual(problem, tols, dual_norm)
-        s = dataclasses.replace(
-            s, converged=(primal_res < eps_pri) & (dual_res < eps_dua)
-        )
-
-        # residual-based step adaptation
-        if opts.stepsize == "goldstein":
-            scale = eps_dua / eps_pri
-            up = s.dual_residual > scale * s.primal_residual * opts.arg_delta
-            dn = s.dual_residual < scale * s.primal_residual / opts.arg_delta
-            fac = 1.0 - s.arg_alpha
-            tau = jnp.where(up, s.tau / fac, jnp.where(dn, s.tau * fac, s.tau))
-            sigma = jnp.where(
-                up, s.sigma * fac, jnp.where(dn, s.sigma / fac, s.sigma)
-            )
-            arg_alpha = jnp.where(up | dn, s.arg_alpha * opts.arg_nu, s.arg_alpha)
-            s = dataclasses.replace(s, tau=tau, sigma=sigma, arg_alpha=arg_alpha)
-        elif opts.stepsize == "boyd":
-            it = s.iteration.astype(s.tau.dtype)
-            c1 = (s.dual_residual < eps_dua) & (opts.arb_tau * it > s.arb_l)
-            c2 = (
-                (s.primal_residual < eps_pri)
-                & (opts.arb_tau * it > s.arb_u)
-                & ~c1
-            )
-            tau = jnp.where(
-                c1, s.tau / opts.arb_delta,
-                jnp.where(c2, s.tau * opts.arb_delta, s.tau),
-            )
-            sigma = jnp.where(
-                c1, s.sigma * opts.arb_delta,
-                jnp.where(c2, s.sigma / opts.arb_delta, s.sigma),
-            )
-            arb_u = jnp.where(c1, it, s.arb_u)
-            arb_l = jnp.where(c2, it, s.arb_l)
-            s = dataclasses.replace(
-                s, tau=tau, sigma=sigma, arb_l=arb_l, arb_u=arb_u
-            )
-        return s
 
     def body(s: PDHGState) -> PDHGState:
         # primal step

@@ -11,22 +11,34 @@ Design (TPU-first):
 
 * The generic path carries 8 full-size vectors (x, y, kx, kty + prevs) and
   streams ~25 MB of HBM per iteration through several fused kernels.
-  Here the *mathematical* state is only (x, qx, qy): kx = grad(x) and
+  Here the *mathematical* state is only (x, q): kx = grad(x) and
   kty = grad^T(q) are recomputed inside the kernel from VMEM-resident
   planes — stencils are VPU-cheap, HBM is the scarce resource.
-* One `pallas_call` per iteration: 4 input planes (x, qx, qy, f), 3 output
-  planes, everything else lives in VMEM/registers.  ~7 plane-traffics per
-  iteration instead of ~25.
+* ONE kernel per residual_iter-sized chunk (`_rof_chunk_kernel`), holding
+  all state in VMEM for its whole run: (residual_iter - 1) plain
+  iterations, then the aligned iteration PLUS the four preconditioned
+  residual norms (backend_pdhg.cu:73-120) reduced in-kernel to SMEM
+  scalars.  The gradient planes (gx, gy) are loop-carried — the dual step
+  of iteration k computes grad(x^{k+1}), which is exactly what the primal
+  extrapolation of iteration k+1 needs, saving 2 of the 6 stencils per
+  iteration and making the residual's K x_prev free.  This removes the
+  generic residual step (the former per-chunk bottleneck: a full
+  multi-pass XLA program over 8 flat vectors) from the hot loop entirely;
+  the solver-state operator products (kx, kty, kx_prev, kty_prev) are
+  refreshed once per run() in an XLA epilogue.
+* Step-size adaptation (boyd/goldstein) and the convergence test run on
+  the returned scalars via the exact generic code path
+  (``residual_and_adapt``), preserving reference semantics.
 * Adaptive step sizes (tau, sigma, theta) enter as SMEM scalars, so the
-  kernel is compiled once and reused as steps adapt.
-* Residuals stay on the generic path: the fused loop runs the
-  (residual_iter - 1) cheap iterations, then one generic `pdhg_step`
-  computes residuals/adaptation exactly like the reference.
+  kernels are compiled once and reused as steps adapt.
+* The dual planes travel as one (2, nx, ny) ref, so state.y <-> kernel
+  views are pure reshapes (no concatenates in the chunk loop).
 
-Whole planes are kept in VMEM (no grid): state+intermediates fit
-comfortably up to 512x512 f32; larger problems fall back to the generic
-path (`fits_vmem`).  Layout contract matches BlockGradient2D with
-label_first=False and L=1: x viewed (nx, ny), y = [gx; gy] stacked planes.
+Whole planes are kept in VMEM (no grid): state+intermediates fit up to
+512x512 f32 under the raised ``vmem_limit_bytes``; larger problems fall
+back to the generic path (`fits_vmem`).  Layout contract matches
+BlockGradient2D with label_first=False and L=1: x viewed (nx, ny),
+y = [gx; gy] stacked planes.
 """
 
 from __future__ import annotations
@@ -38,11 +50,20 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..backend.pdhg import BackendPDHG, PDHGState, pdhg_step
+from ..backend.pdhg import (BackendPDHG, PDHGState, pdhg_step,
+                            residual_and_adapt)
 from ..linop.base import LinearOperator
 from ..linop.gradient import BlockGradient2D
 from ..prox.combinators import ProxMoreau
 from ..prox.elemop import ProxElem1D, ProxElemNorm2
+
+# Scoped-VMEM budget for the whole-plane kernels.  The Mosaic default
+# (16 MB) is exactly at the edge for 512x512 f32; raising it is safe — the
+# compiler still errors out (and we fall back) if the hardware can't fit.
+_VMEM_LIMIT = 96 * 1024 * 1024
+
+_SQRT_S = 0.7071067811865476  # sqrt(Sigma) = sqrt(1/2)
+_SQRT_T = 0.5                 # sqrt(Tau)   = sqrt(1/4)
 
 
 def _shift_ops(shape, roll):
@@ -74,115 +95,176 @@ def _shift_ops(shape, roll):
     return dx, dy, dxt, dyt
 
 
-def _rof_update(x, qx, qy, f, w, tau, sigma, theta, lmb, radius, ops,
+def _hoist_dataterm(f, w, tau, lmb, dataterm: str):
+    """Pre-compute the per-burst constant planes/scalars of the primal prox.
+
+    square / wsquare share the affine form  x_new = (arg + dt0) * dt1;
+    abs keeps (f, shrink-amount).  tau is constant within a burst, so this
+    hoists a plane's worth of multiplies out of every iteration.
+    """
+    if dataterm == "square":
+        return (tau * lmb) * f, 1.0 / (1.0 + tau * lmb)
+    if dataterm == "wsquare":
+        tw = (tau * lmb) * w
+        return tw * f, 1.0 / (1.0 + tw)
+    return f, tau * lmb  # abs
+
+
+def _rof_update(x, qx, qy, gx, gy, dt0, dt1, tau, sig_p, sig_t, radius, ops,
                 dataterm: str):
     """One preconditioned PDHG update on VMEM-resident planes.
 
-    tau/sigma arrive pre-multiplied by the constant preconditioners
-    (Tau = 1/4, Sigma = 1/2).  kx/kty are recomputed from (x, q) — the
-    mathematical state fully determines them, stencils are VPU-cheap, and
-    not carrying them removes over half the HBM traffic.
-
-    dataterm (static):
-      'square'   prox of lmb/2 (u - f)^2          (ROF)
-      'wsquare'  prox of lmb/2 w (u - f)^2, plane w (TV inpainting)
-      'abs'      prox of lmb |u - f|               (TV-L1)
-    The dual prox is projection onto the radius-r 2-ball per pixel.
+    tau arrives pre-multiplied by the constant preconditioner (Tau = 1/4);
+    sig_p = sigma*Sigma*(1+theta), sig_t = sigma*Sigma*theta.  (gx, gy) is
+    grad(x) carried from the previous iteration.  Returns the new state,
+    the new gradient planes, and kty (= K^T of the *old* dual) for the
+    residual kernel.
     """
     _dx, _dy, _dxt, _dyt = ops
     kty = _dxt(qx) + _dyt(qy)
-    kxx = _dx(x)
-    kxy = _dy(x)
 
     arg = x - tau * kty
-    if dataterm == "square":
-        # scalar reciprocal hoisted off the plane
-        x_new = (arg + (tau * lmb) * f) * (1.0 / (1.0 + tau * lmb))
-    elif dataterm == "wsquare":
-        tw = (tau * lmb) * w
-        x_new = (arg + tw * f) / (1.0 + tw)
+    if dataterm in ("square", "wsquare"):
+        x_new = (arg + dt0) * dt1
     else:  # abs
-        d = arg - f
-        x_new = f + jnp.sign(d) * jnp.maximum(jnp.abs(d) - tau * lmb, 0.0)
+        d = arg - dt0
+        x_new = dt0 + jnp.sign(d) * jnp.maximum(jnp.abs(d) - dt1, 0.0)
 
     # dual step: extrapolated gradient + r-ball projection;
     # a * min(1, r/|a|) == a * min(1, r * rsqrt(|a|^2)) — one rsqrt
     # instead of sqrt + divide (rsqrt(0) = inf clamps to 1, exactly right)
     gx_new = _dx(x_new)
     gy_new = _dy(x_new)
-    ax = qx + sigma * ((1.0 + theta) * gx_new - theta * kxx)
-    ay = qy + sigma * ((1.0 + theta) * gy_new - theta * kxy)
+    ax = qx + sig_p * gx_new - sig_t * gx
+    ay = qy + sig_p * gy_new - sig_t * gy
     scale = jnp.minimum(1.0, radius * lax.rsqrt(ax * ax + ay * ay))
-    return x_new, ax * scale, ay * scale
+    return x_new, ax * scale, ay * scale, gx_new, gy_new, kty
 
 
-def _rof_burst_kernel(scal_ref, x_ref, qx_ref, qy_ref, f_ref, w_ref,
-                      xo_ref, qxo_ref, qyo_ref, *, count: int,
-                      dataterm: str):
-    """``count`` (static) PDHG iterations with the state planes
-    VMEM-resident for the whole burst: HBM traffic is one load + one store
-    of 3 planes per *burst*, not per iteration.
-
-    scal_ref (SMEM): [tau, sigma, theta, lmb, radius].
-    """
-    tau = scal_ref[0] * 0.25      # tau * Tau
-    sigma = scal_ref[1] * 0.5     # sigma * Sigma
+def _kernel_scalars(scal_ref):
+    tau_p = scal_ref[0] * 0.25    # tau * Tau
+    sigma_p = scal_ref[1] * 0.5   # sigma * Sigma
     theta = scal_ref[2]
-    lmb = scal_ref[3]
-    radius = scal_ref[4]
+    return (tau_p, sigma_p * (1.0 + theta), sigma_p * theta,
+            scal_ref[3], scal_ref[4])
 
-    f = f_ref[...]
-    w = w_ref[...] if dataterm == "wsquare" else None
 
+
+def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
+                      xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref, *,
+                      count: int, dataterm: str):
+    """One whole residual_iter-sized chunk in ONE kernel: ``count - 1``
+    plain iterations, then the aligned iteration with its four
+    preconditioned residual norms (squared) reduced in-kernel to SMEM.
+
+    Outputs the new iterate (x2, q2) and the pre-aligned-step iterate
+    (x_prev, q_prev) — the carried gradient planes make K x_prev free, and
+    the K / K^T products the *solver state* needs (kx, kty, kx_prev,
+    kty_prev) are recomputed once per run() in an XLA epilogue instead of
+    per chunk, saving 6 plane writes and a second kernel launch here.
+    """
     from jax.experimental.pallas import tpu as pltpu
 
+    tau, sig_p, sig_t, lmb, radius = _kernel_scalars(scal_ref)
+    tau_raw = scal_ref[0]
+    sigma_raw = scal_ref[1]
+    theta = scal_ref[2]
+    f = f_ref[...]
+    w = w_ref[...] if dataterm == "wsquare" else None
+    dt0, dt1 = _hoist_dataterm(f, w, tau, lmb, dataterm)
     ops = _shift_ops(f.shape, pltpu.roll)
+    _dx, _dy = ops[0], ops[1]
+
+    x0 = x_ref[...]
 
     def body(_, carry):
-        x, qx, qy = carry
-        return _rof_update(x, qx, qy, f, w, tau, sigma, theta, lmb, radius,
-                           ops, dataterm)
+        x, qx, qy, gx, gy = carry
+        x, qx, qy, gx, gy, _ = _rof_update(
+            x, qx, qy, gx, gy, dt0, dt1, tau, sig_p, sig_t, radius, ops,
+            dataterm)
+        return x, qx, qy, gx, gy
 
-    x, qx, qy = lax.fori_loop(
-        0, count, body, (x_ref[...], qx_ref[...], qy_ref[...]))
-    xo_ref[...] = x
-    qxo_ref[...] = qx
-    qyo_ref[...] = qy
+    x, qx, qy, gxp, gyp = lax.fori_loop(
+        0, count - 1, body, (x0, q_ref[0], q_ref[1], _dx(x0), _dy(x0)))
+
+    # aligned iteration; (gxp, gyp) is grad(x_prev) carried for free
+    x2, qx2, qy2, gx2, gy2, ktyp = _rof_update(
+        x, qx, qy, gxp, gyp, dt0, dt1, tau, sig_p, sig_t, radius, ops,
+        dataterm)
+    kty2 = ops[2](qx2) + ops[3](qy2)
+
+    inv_s = 1.0 / (sigma_raw * _SQRT_S)
+    zh_x = (qx - qx2) * inv_s + _SQRT_S * ((1.0 + theta) * gx2 - theta * gxp)
+    zh_y = (qy - qy2) * inv_s + _SQRT_S * ((1.0 + theta) * gy2 - theta * gyp)
+    pd_x = zh_x - _SQRT_S * gx2
+    pd_y = zh_y - _SQRT_S * gy2
+    wh = (x - x2) * (1.0 / (tau_raw * _SQRT_T)) - _SQRT_T * ktyp
+    dd = wh + _SQRT_T * kty2
+
+    norms_ref[0] = jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y)
+    norms_ref[1] = jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y)
+    norms_ref[2] = jnp.sum(dd * dd)
+    norms_ref[3] = jnp.sum(wh * wh)
+
+    xo_ref[...] = x2
+    qo_ref[0] = qx2
+    qo_ref[1] = qy2
+    xpo_ref[...] = x
+    qpo_ref[0] = qx
+    qpo_ref[1] = qy
 
 
-def rof_fused_burst(x, qx, qy, f, w, tau, sigma, theta, lmb, radius, count,
-                    dataterm: str = "square", interpret: bool = False):
-    """``count`` fused iterations in one kernel; all planes (nx, ny) f32.
-    ``w`` is the weight plane for dataterm='wsquare' (pass f otherwise —
-    it is ignored but keeps the input arity static)."""
+
+def _plane_specs(n):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    scal = jnp.stack([
-        tau, sigma, theta,
+    return [pl.BlockSpec(memory_space=pltpu.VMEM)] * n
+
+
+def _scal_vec(x, tau, sigma, theta, lmb, radius):
+    return jnp.stack([
+        jnp.asarray(tau, x.dtype), jnp.asarray(sigma, x.dtype),
+        jnp.asarray(theta, x.dtype),
         jnp.asarray(lmb, x.dtype), jnp.asarray(radius, x.dtype),
     ])
-    out_shape = [jax.ShapeDtypeStruct(x.shape, x.dtype)] * 3
-    xo, qxo, qyo = pl.pallas_call(
-        partial(_rof_burst_kernel, count=int(count), dataterm=dataterm),
+
+
+
+def rof_fused_chunk(x, q, f, w, tau, sigma, theta, lmb, radius, count,
+                    dataterm: str = "square", interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration, in one
+    kernel.  Returns (x2, q2, x_prev, q_prev, norms2) where norms2 is the
+    length-4 vector of SQUARED preconditioned residual norms at the final
+    iteration."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scal = _scal_vec(x, tau, sigma, theta, lmb, radius)
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x2
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q2
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x_prev
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q_prev
+        jax.ShapeDtypeStruct((4,), x.dtype),      # norms^2
+    ]
+    out_specs = _plane_specs(4) + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    return pl.pallas_call(
+        partial(_rof_chunk_kernel, count=int(count), dataterm=dataterm),
         out_shape=out_shape,
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _plane_specs(4),
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, x, qx, qy, f, w)
-    return xo, qxo, qyo
+    )(scal, x, q, f, w)
+
 
 
 def fits_vmem(nx: int, ny: int, itemsize: int = 4) -> bool:
-    """Whole-plane kernel budget: ~8 live planes must fit in ~14 MB VMEM."""
-    return nx * ny * itemsize * 8 <= 14 * 1024 * 1024
+    """Whole-plane kernel budget: ~20 live planes must fit in the raised
+    VMEM limit (96 MB requested; 512x512 f32 = 20 MB, comfortable)."""
+    return nx * ny * itemsize * 20 <= _VMEM_LIMIT
 
 
 def match_rof_structure(problem):
@@ -193,6 +275,10 @@ def match_rof_structure(problem):
     preconditioner (constant Sigma=1/2, Tau=1/4)."""
     import numpy as np
 
+    from ..config import dtype
+
+    if dtype() != jnp.float32:
+        return None
     linop = problem.linop
     if not isinstance(linop, LinearOperator) or len(linop.blocks) != 1:
         return None
@@ -272,9 +358,9 @@ def match_rof_structure(problem):
 class FusedROFPDHG(BackendPDHG):
     """BackendPDHG that runs ROF-structured problems through the fused
     Pallas iteration, falling back to the generic path when the structure
-    does not match.  Residual iterations (and with them the adaptive
-    step-size schemes) go through the generic ``pdhg_step``, preserving
-    exact reference semantics for stopping/adaptation."""
+    does not match.  Residual iterations run through the fused residual
+    kernel whose norms feed the exact generic adaptation/stopping code
+    (``residual_and_adapt``), preserving reference semantics."""
 
     def __init__(self, problem, opts, solver_opts, interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
@@ -311,54 +397,74 @@ class FusedROFPDHG(BackendPDHG):
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(13,))
 def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
                    interpret, tols, f_plane, w_plane, radius, state, until):
-    """Three phases around a static-length fused burst (the in-kernel loop
-    bound must be static for Mosaic):
+    """Three phases around the single-kernel fused chunks (the in-kernel
+    loop bound must be static for Mosaic):
 
-      A. generic steps until iteration % ri == 0 (alignment, <= ri-1 steps)
-      B. while room: burst of (ri - 1) fused iterations in ONE kernel
-         + one generic step (residuals, adaptation, convergence test)
-      C. generic steps for the tail until ``until``
+      A. generic steps until iteration % ri == 1 (so each chunk *ends* on
+         a residual iteration; <= ri-1 steps — normally just iteration 0)
+      B. while a whole chunk fits: ``rof_fused_chunk`` = ri iterations +
+         in-kernel residual norms in ONE kernel, then scalar
+         adaptation/convergence via the generic ``residual_and_adapt``
+      C. an epilogue refreshing the operator products (kx, kty, kx_prev,
+         kty_prev) once — the chunks don't carry them — then generic
+         steps for the tail until ``until``
+
+    The iteration/residual/adaptation schedule is identical to the plain
+    ``lax.while_loop`` over ``pdhg_step``: residuals at iterations
+    0, ri, 2ri, ... computed from the same finite-difference formulas.
     """
     ri = max(int(opts.residual_iter), 1)
-    n = nx * ny
 
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
     def fused_chunk(s: PDHGState) -> PDHGState:
         x = s.x.reshape(nx, ny)
-        qx = s.y[:n].reshape(nx, ny)
-        qy = s.y[n:].reshape(nx, ny)
-        x, qx, qy = rof_fused_burst(
-            x, qx, qy, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
-            radius, ri - 1, dataterm=dataterm, interpret=interpret)
-        y = jnp.concatenate([qx.reshape(-1), qy.reshape(-1)])
-        xf = x.reshape(-1)
-        # refresh the derived operator applies for the generic step
-        kx = problem.linop.apply(xf)
-        kty = problem.linop.apply_adjoint(y)
-        return dataclasses.replace(
-            s, x=xf, y=y, kx=kx, kty=kty,
-            iteration=s.iteration + (ri - 1),
+        q = s.y.reshape(2, nx, ny)
+        x2, q2, xp, qp, norms2 = rof_fused_chunk(
+            x, q, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
+            radius, ri, dataterm=dataterm, interpret=interpret)
+        norms = jnp.sqrt(norms2)
+        s = dataclasses.replace(
+            s,
+            x=x2.reshape(-1), y=q2.reshape(-1),
+            x_prev=xp.reshape(-1), y_prev=qp.reshape(-1),
         )
+        # the residual iteration's pre-increment counter is
+        # s.iteration + ri - 1 (the chunk covers iterations
+        # s.iteration .. s.iteration + ri - 1)
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        return dataclasses.replace(s, iteration=s.iteration + ri)
 
-    # phase A: align to the residual grid with generic steps
+    # phase A: align so chunks END on the residual grid (iteration % ri==0);
+    # a no-op for ri == 1, where every iteration is a residual iteration
+    align = 1 % ri
+
     def cond_a(s):
-        return (s.iteration % ri != 0) & (s.iteration < until) & ~s.converged
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
 
-    if ri > 1:
-        # phase B: aligned chunks = one generic step (residuals computed at
-        # iteration % ri == 0, exactly like the plain loop) followed by a
-        # (ri - 1)-iteration fused burst; only while the whole chunk fits
-        def cond_b(s):
-            return (s.iteration + ri <= until) & ~s.converged
+    # phase B: fused chunks of exactly ri iterations
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
 
-        def body_b(s):
-            return fused_chunk(generic(s))
+    state = lax.while_loop(cond_b, fused_chunk, state)
 
-        state = lax.while_loop(cond_b, body_b, state)
+    # epilogue: the chunks update only (x, y, x_prev, y_prev); refresh the
+    # derived operator products once for the generic tail /
+    # current_solution (identical values if no chunk ran)
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
 
     # phase C: generic tail
     def cond_c(s):
