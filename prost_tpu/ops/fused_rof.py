@@ -356,11 +356,13 @@ def match_rof_structure(problem):
 
 
 class FusedROFPDHG(BackendPDHG):
-    """BackendPDHG that runs ROF-structured problems through the fused
-    Pallas iteration, falling back to the generic path when the structure
-    does not match.  Residual iterations run through the fused residual
-    kernel whose norms feed the exact generic adaptation/stopping code
-    (``residual_and_adapt``), preserving reference semantics."""
+    """BackendPDHG that runs structurally-matched problems through fused
+    Pallas iterations, falling back to the generic path otherwise.
+    Matched structures: ROF/TV-L1/inpainting (this module) and the fast
+    multilabel relaxation (ops/fused_multilabel.py).  Residual iterations
+    run through the fused chunk kernel whose norms feed the exact generic
+    adaptation/stopping code (``residual_and_adapt``), preserving
+    reference semantics."""
 
     def __init__(self, problem, opts, solver_opts, interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
@@ -372,26 +374,41 @@ class FusedROFPDHG(BackendPDHG):
         import jax
 
         usable = (jax.default_backend() != "cpu") or interpret
-        self.rof = (
-            None if (opts.stepsize == "alg2" or not usable)
-            else match_rof_structure(problem)
-        )
-        if self.rof is not None and self.solver_opts.verbose:
-            print("FusedROFPDHG: using fused Pallas iteration.")
+        usable = usable and opts.stepsize != "alg2"
+        self.rof = match_rof_structure(problem) if usable else None
+        self.ml = None
+        if usable and self.rof is None:
+            from .fused_multilabel import match_multilabel_structure
+
+            self.ml = match_multilabel_structure(problem)
+        if (self.rof or self.ml) and self.solver_opts.verbose:
+            kind = "ROF" if self.rof else "multilabel"
+            print(f"FusedROFPDHG: using fused Pallas iteration ({kind}).")
 
     def run(self, state: PDHGState, until_iter: int) -> PDHGState:
-        if self.rof is None:
-            return super().run(state, until_iter)
         sopts = self.solver_opts
         tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
-        r = self.rof
-        return _fused_rof_run(
-            self.problem, self.prox_g, self.prox_fstar, self.opts,
-            r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
-            tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
-            state, jnp.asarray(until_iter, jnp.int32),
-        )
+        if self.rof is not None:
+            r = self.rof
+            return _fused_rof_run(
+                self.problem, self.prox_g, self.prox_fstar, self.opts,
+                r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
+                tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
+                state, jnp.asarray(until_iter, jnp.int32),
+            )
+        if self.ml is not None:
+            from .fused_multilabel import _fused_ml_run
+
+            m = self.ml
+            return _fused_ml_run(
+                self.problem, self.prox_g, self.prox_fstar, self.opts,
+                m["nx"], m["ny"], m["L"], self.interpret,
+                tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
+                jnp.asarray(m["d_s"], jnp.float32),
+                state, jnp.asarray(until_iter, jnp.int32),
+            )
+        return super().run(state, until_iter)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(13,))

@@ -1,0 +1,106 @@
+"""Fused Pallas multilabel iteration (ops/fused_multilabel.py) vs the
+generic PDHG path.  Runs in Pallas interpreter mode on CPU; the real-TPU
+path is exercised by bench.py --all.
+"""
+
+import numpy as np
+import pytest
+
+import prost_tpu as pt
+from prost_tpu import block, function
+from prost_tpu.backend import BackendPDHG, PDHGOptions
+from prost_tpu.ops import FusedROFPDHG, match_multilabel_structure
+
+
+def ml_problem(nx, ny, L, lmb=0.5, seed=0):
+    """The fast multilabel relaxation of examples/example_multilabel_fast.py
+    on random unaries, returned as a finalized modeling-layer problem."""
+    n = nx * ny
+    rng = np.random.RandomState(seed)
+    f = rng.rand(n * L).astype(np.float32)
+
+    u = pt.Variable(n * L)
+    q = pt.Variable(2 * n * L)
+    s = pt.Variable(n)
+    prob = pt.MinMaxProblem([u], [q, s])
+    prob.add_function(u, function.sum_1d("ind_geq0", 1, 0, 1, f, 0))
+    prob.add_function(q, function.sum_norm2(2 * L, False, "ind_leq0",
+                                            1 / lmb, 1, 1))
+    prob.add_function(s, function.sum_1d("zero", 1, 0, 1, 1, 0))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
+    prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
+    return prob.finalize(), f
+
+
+def _opts(**kw):
+    kw.setdefault("verbose", False)
+    kw.setdefault("tol_rel_primal", 0.0)
+    kw.setdefault("tol_rel_dual", 0.0)
+    kw.setdefault("tol_abs_primal", 0.0)
+    kw.setdefault("tol_abs_dual", 0.0)
+    return pt.SolverOptions(**kw)
+
+
+def test_match_multilabel_structure():
+    prob, f = ml_problem(8, 8, 4, lmb=0.7)
+    m = match_multilabel_structure(prob)
+    assert m is not None
+    assert m["nx"] == 8 and m["L"] == 4
+    assert m["radius"] == pytest.approx(0.7)
+    assert m["d_s"] == 1.0
+    np.testing.assert_allclose(np.asarray(m["f"]).ravel(), f)
+
+
+def test_match_rejects_non_multilabel():
+    # simplex-based formulation (no kron block) must not match
+    nx = ny = 6
+    L = 3
+    n = nx * ny
+    u = pt.Variable(n * L)
+    q = pt.Variable(2 * n * L)
+    prob = pt.MinMaxProblem([u], [q])
+    prob.add_function(u, function.sum_ind_simplex(L, False))
+    prob.add_function(q, function.sum_norm2(2 * L, False, "ind_leq0",
+                                            2.0, 1, 1))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
+    assert match_multilabel_structure(prob.finalize()) is None
+
+
+@pytest.mark.parametrize("residual_iter", [1, 7, 10])
+def test_fused_ml_matches_generic(residual_iter):
+    prob, _ = ml_problem(12, 10, 4, lmb=0.4, seed=3)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 60)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.ml is not None and fus.rof is None
+    fs = fus.run(fus.initial_state(), 60)
+
+    assert int(fs.iteration) == int(gs.iteration) == 60
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+    # current_solution parity (z, w reconstruction uses the prev iterates)
+    for a, b in zip(fus.current_solution(fs), gen.current_solution(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_fused_ml_full_solve_converges():
+    prob, _ = ml_problem(10, 10, 3, lmb=0.3, seed=5)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    sopts = _opts(max_iters=5000, tol_rel_primal=1e-5, tol_rel_dual=1e-5,
+                  tol_abs_primal=1e-5, tol_abs_dual=1e-5)
+    solver = pt.Solver(
+        prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True), sopts)
+    res = solver.solve()
+    assert res.result == pt.ConvergenceResult.CONVERGED
+    # partition of unity at convergence
+    L, n = 3, 100
+    sums = np.asarray(res.x).reshape(L, n).sum(axis=0)
+    np.testing.assert_allclose(sums, 1.0, atol=5e-2)
