@@ -79,7 +79,7 @@ def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square"):
                        fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
     prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
     prob = pt.Problem.create(linop, prox_g=prox_g, prox_fstar=prox_fstar)
-    return FusedROFPDHG(prob, _pdhg_opts(), _solver_opts())
+    return FusedROFPDHG(prob, _pdhg_opts(), _solver_opts()), prob
 
 
 def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
@@ -108,6 +108,37 @@ def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
     return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
 
 
+def build_ensemble(B, nx, ny, seed=42):
+    """B-instance ROF ensemble (BASELINE config 5) on one chip: the batch
+    axis becomes the fused chunk kernel's grid axis (parallel/ensemble.py).
+    The reference has no batching — it solves instances one launch-bound
+    solve at a time."""
+    import prost_tpu as pt
+    from prost_tpu.linop import BlockGradient2D, LinearOperator
+    from prost_tpu.parallel import BatchedPDHG
+    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+    n = nx * ny
+    rng = np.random.RandomState(seed)
+    base = _test_image(nx, ny, seed).reshape(-1)
+
+    def one(i):
+        f = (base + 0.05 * rng.randn(n)).astype(np.float32)
+        lmb = float(rng.uniform(4.0, 32.0))
+        grad = BlockGradient2D(row=0, col=0, nx=nx, ny=ny, L=1)
+        prox_g = [ProxElem1D(index=0, size=n, fun="square",
+                             coeffs=(1.0, f, lmb, 0.0, 0.0, 0.0, 0.0))]
+        pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2,
+                           interleaved=False, fun="abs",
+                           coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+        return pt.Problem.create(
+            LinearOperator.create([grad]), prox_g=prox_g,
+            prox_fstar=[ProxMoreau(index=0, size=2 * n, child=pn)])
+
+    problems = [one(i) for i in range(B)]
+    return BatchedPDHG(problems, _pdhg_opts(), _solver_opts())
+
+
 def measure_backend(backend, short=2000, long_=22000, repeats=3):
     """Two-point throughput measurement: the remote-tunneled runtime
     charges ~90 ms of D2H sync latency to EVERY host read (profiled: the
@@ -122,14 +153,17 @@ def measure_backend(backend, short=2000, long_=22000, repeats=3):
     read: block_until_ready alone has been observed not to wait on the
     axon remote platform, which silently inflates the timing 30x.
     """
+    def sync_iter(s):
+        return int(np.max(np.asarray(s.iteration)))  # scalar or (B,)
+
     state = backend.initial_state()
     state = backend.run(state, 21)
-    assert int(state.iteration) == 21
+    assert sync_iter(state) == 21
 
     def timed_run(start_state, start, iters):
         t0 = time.perf_counter()
         out = backend.run(start_state, start + iters)
-        assert int(out.iteration) == start + iters
+        assert sync_iter(out) == start + iters
         return out, time.perf_counter() - t0
 
     best_short = best_long = float("inf")
@@ -155,7 +189,7 @@ def _extra(metric, value, unit, baseline):
 def main(argv):
     run_all = "--all" in argv
 
-    its_per_sec = measure_backend(build_rof(512, 512))
+    its_per_sec = measure_backend(build_rof(512, 512)[0])
     baseline = 3000.0
     print(json.dumps({
         "metric": "rof512_pdhg_iters_per_sec",
@@ -166,14 +200,34 @@ def main(argv):
 
     if run_all:
         # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs path)
-        v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs"))
+        v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
         _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
+        # ADMM on ROF 512x512 (config 4; generic jitted path — each outer
+        # iteration runs a <=10-step CGLS inner loop = ~20 operator
+        # applies).  Reference estimate: ~15 kernels + the cuBLAS CG loop
+        # per iteration, ~600 it/s on prost's target GPUs.
+        from prost_tpu.backend.admm import ADMMOptions, BackendADMM
+
+        _, prob = build_rof(512, 512)
+        admm = BackendADMM(prob, ADMMOptions(residual_iter=10),
+                           _solver_opts())
+        v = measure_backend(admm, short=200, long_=1200, repeats=2)
+        _extra("rof512_admm_iters_per_sec", v, "it/s", 600.0)
         # multilabel 8 labels 256x256 (config 3; fused multilabel path).
         # The reference's per-iteration work is ~9x the ROF 512 case per
         # pixel-label; CUDA estimate ~1500 it/s at this size.
         v = measure_backend(build_multilabel(256, 256, L=8),
                             short=500, long_=5500)
         _extra("multilabel256x8_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        # 1024-instance ROF ensemble at 128x128 (config 5).  Metric:
+        # instance-iterations/sec.  The reference runs one instance at a
+        # time (~5000 it/s at this launch-bound size), so its
+        # instance-iteration rate IS its single-solve rate.
+        B = 1024
+        v = measure_backend(build_ensemble(B, 128, 128),
+                            short=100, long_=1100, repeats=2)
+        _extra("ensemble1024x128_instance_iters_per_sec", v * B, "it/s",
+               5000.0)
 
     return 0
 

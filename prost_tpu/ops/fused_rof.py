@@ -141,41 +141,26 @@ def _rof_update(x, qx, qy, gx, gy, dt0, dt1, tau, sig_p, sig_t, radius, ops,
     return x_new, ax * scale, ay * scale, gx_new, gy_new, kty
 
 
-def _kernel_scalars(scal_ref):
-    tau_p = scal_ref[0] * 0.25    # tau * Tau
-    sigma_p = scal_ref[1] * 0.5   # sigma * Sigma
-    theta = scal_ref[2]
-    return (tau_p, sigma_p * (1.0 + theta), sigma_p * theta,
-            scal_ref[3], scal_ref[4])
 
+def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
+                count: int, dataterm: str):
+    """The math of one residual_iter-sized chunk on VMEM-resident planes:
+    ``count - 1`` plain iterations, then the aligned iteration with its
+    four preconditioned residual norms (squared).  Shared by the
+    single-instance and batched (gridded) kernels.
 
-
-def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
-                      xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref, *,
-                      count: int, dataterm: str):
-    """One whole residual_iter-sized chunk in ONE kernel: ``count - 1``
-    plain iterations, then the aligned iteration with its four
-    preconditioned residual norms (squared) reduced in-kernel to SMEM.
-
-    Outputs the new iterate (x2, q2) and the pre-aligned-step iterate
-    (x_prev, q_prev) — the carried gradient planes make K x_prev free, and
-    the K / K^T products the *solver state* needs (kx, kty, kx_prev,
-    kty_prev) are recomputed once per run() in an XLA epilogue instead of
-    per chunk, saving 6 plane writes and a second kernel launch here.
+    Returns (x2, qx2, qy2, x_prev, qx_prev, qy_prev, (n0, n1, n2, n3)).
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    tau, sig_p, sig_t, lmb, radius = _kernel_scalars(scal_ref)
-    tau_raw = scal_ref[0]
-    sigma_raw = scal_ref[1]
-    theta = scal_ref[2]
-    f = f_ref[...]
-    w = w_ref[...] if dataterm == "wsquare" else None
+    tau = tau_raw * 0.25       # tau * Tau
+    sigma_p = sigma_raw * 0.5  # sigma * Sigma
+    sig_p = sigma_p * (1.0 + theta)
+    sig_t = sigma_p * theta
+    w = w if dataterm == "wsquare" else None
     dt0, dt1 = _hoist_dataterm(f, w, tau, lmb, dataterm)
     ops = _shift_ops(f.shape, pltpu.roll)
     _dx, _dy = ops[0], ops[1]
-
-    x0 = x_ref[...]
 
     def body(_, carry):
         x, qx, qy, gx, gy = carry
@@ -185,7 +170,7 @@ def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
         return x, qx, qy, gx, gy
 
     x, qx, qy, gxp, gyp = lax.fori_loop(
-        0, count - 1, body, (x0, q_ref[0], q_ref[1], _dx(x0), _dy(x0)))
+        0, count - 1, body, (x0, qx0, qy0, _dx(x0), _dy(x0)))
 
     # aligned iteration; (gxp, gyp) is grad(x_prev) carried for free
     x2, qx2, qy2, gx2, gy2, ktyp = _rof_update(
@@ -201,17 +186,65 @@ def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
     wh = (x - x2) * (1.0 / (tau_raw * _SQRT_T)) - _SQRT_T * ktyp
     dd = wh + _SQRT_T * kty2
 
-    norms_ref[0] = jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y)
-    norms_ref[1] = jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y)
-    norms_ref[2] = jnp.sum(dd * dd)
-    norms_ref[3] = jnp.sum(wh * wh)
+    norms = (
+        jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y),
+        jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y),
+        jnp.sum(dd * dd),
+        jnp.sum(wh * wh),
+    )
+    return x2, qx2, qy2, x, qx, qy, norms
 
+
+def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
+                      xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref, *,
+                      count: int, dataterm: str):
+    """One whole residual_iter-sized chunk in ONE kernel, residual norms
+    reduced to SMEM.
+
+    Outputs the new iterate (x2, q2) and the pre-aligned-step iterate
+    (x_prev, q_prev) — the carried gradient planes make K x_prev free, and
+    the K / K^T products the *solver state* needs (kx, kty, kx_prev,
+    kty_prev) are recomputed once per run() in an XLA epilogue instead of
+    per chunk, saving 6 plane writes and a second kernel launch here.
+    """
+    q = q_ref[...]
+    x2, qx2, qy2, xp, qxp, qyp, norms = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        x_ref[...], q[0], q[1], f_ref[...], w_ref[...], count, dataterm)
+    for i in range(4):
+        norms_ref[i] = norms[i]
     xo_ref[...] = x2
     qo_ref[0] = qx2
     qo_ref[1] = qy2
-    xpo_ref[...] = x
-    qpo_ref[0] = qx
-    qpo_ref[1] = qy
+    xpo_ref[...] = xp
+    qpo_ref[0] = qxp
+    qpo_ref[1] = qyp
+
+
+def _rof_chunk_kernel_batched(scal_ref, x_ref, q_ref, f_ref, w_ref,
+                              xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref, *,
+                              count: int, dataterm: str):
+    """Gridded batch variant: grid = (B,), one instance per grid step.
+    Plane refs carry a leading length-1 instance axis; scal_ref/norms_ref
+    are the WHOLE (5, B)/(4, B) SMEM arrays, indexed by program_id (a
+    blocked SMEM spec would violate Mosaic's (8, 128)-divisibility rule,
+    and the scalars-last layout would be lane-padded B x 128)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    q = q_ref[0]
+    x2, qx2, qy2, xp, qxp, qyp, norms = _chunk_core(
+        scal_ref[0, b], scal_ref[1, b], scal_ref[2, b], scal_ref[3, b],
+        scal_ref[4, b],
+        x_ref[0], q[0], q[1], f_ref[0], w_ref[0], count, dataterm)
+    for i in range(4):
+        norms_ref[i, b] = norms[i]
+    xo_ref[0] = x2
+    qo_ref[0, 0] = qx2
+    qo_ref[0, 1] = qy2
+    xpo_ref[0] = xp
+    qpo_ref[0, 0] = qxp
+    qpo_ref[0, 1] = qyp
 
 
 
@@ -259,6 +292,43 @@ def rof_fused_chunk(x, q, f, w, tau, sigma, theta, lmb, radius, count,
         interpret=interpret,
     )(scal, x, q, f, w)
 
+
+
+def rof_fused_chunk_batched(x, q, f, w, scal, count,
+                            dataterm: str = "square",
+                            interpret: bool = False):
+    """Batched chunk: grid over the instance axis, one chunk per instance
+    per kernel call.  x/f/w are (B, nx, ny), q is (B, 2, nx, ny), scal is
+    (B, 5) rows of [tau, sigma, theta, lmb, radius] (per-instance adaptive
+    step sizes).  Returns (x2, q2, x_prev, q_prev, norms2) with norms2 of
+    shape (B, 4)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nx, ny = x.shape
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)  # whole-array
+    xspec = pl.BlockSpec((1, nx, ny), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 2, nx, ny), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x2
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q2
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x_prev
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q_prev
+        jax.ShapeDtypeStruct((4, B), x.dtype),    # norms^2
+    ]
+    return pl.pallas_call(
+        partial(_rof_chunk_kernel_batched, count=int(count),
+                dataterm=dataterm),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=[smem, xspec, qspec, xspec, xspec],
+        out_specs=[xspec, qspec, xspec, qspec, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, x, q, f, w)
 
 
 def fits_vmem(nx: int, ny: int, itemsize: int = 4) -> bool:

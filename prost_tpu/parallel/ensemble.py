@@ -20,6 +20,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..backend.pdhg import BackendPDHG, PDHGOptions, PDHGState, pdhg_step
@@ -53,7 +54,7 @@ class BatchedPDHG:
 
     def __init__(self, problems, opts: PDHGOptions = None,
                  solver_opts: SolverOptions = None, mesh=None,
-                 axis_name: str = "dp"):
+                 axis_name: str = "dp", interpret: bool = False):
         # scale_steps_operator=False by default: per-instance normest would
         # run B host-side power iterations; pass explicit tau0/sigma0, or
         # enable it when instances share one operator
@@ -62,6 +63,7 @@ class BatchedPDHG:
         self.mesh = mesh
         self.axis_name = axis_name
         self.batch = len(problems)
+        self.interpret = interpret
 
         backends = [
             BackendPDHG(p, self.opts, self.solver_opts) for p in problems
@@ -76,6 +78,43 @@ class BatchedPDHG:
             self.batched_problem = put(self.batched_problem)
             self.prox_g = put(self.prox_g)
             self.prox_fstar = put(self.prox_fstar)
+        self.rof = self._match_fused(problems, interpret)
+
+    def _match_fused(self, problems, interpret):
+        """Per-instance ROF structure matching for the batched fused Pallas
+        path (vmap over ops/fused_rof.rof_fused_chunk: the batch axis
+        becomes the kernel grid axis).  All instances must share
+        (nx, ny, dataterm); f/w/lmb/radius may differ per instance."""
+        from ..ops.fused_rof import match_rof_structure
+
+        usable = (jax.default_backend() != "cpu") or interpret
+        if not usable or self.opts.stepsize == "alg2":
+            return None
+        if self.mesh is not None and self.mesh.devices.size > 1:
+            # multi-device meshes stay on the generic vmapped path: the
+            # SPMD partitioner cannot split a Pallas custom call's grid
+            # axis across devices (shard_map integration is future work)
+            return None
+        ms = [match_rof_structure(p) for p in problems]
+        if any(m is None for m in ms):
+            return None
+        keys = {(m["nx"], m["ny"], m["dataterm"]) for m in ms}
+        if len(keys) != 1:
+            return None
+        nx, ny, dataterm = keys.pop()
+        batched = {
+            "nx": nx, "ny": ny, "dataterm": dataterm,
+            "f": jnp.stack([m["f"] for m in ms]),
+            "w": jnp.stack([m["w"] for m in ms]),
+            "lmb": jnp.asarray([m["lmb"] for m in ms], jnp.float32),
+            "radius": jnp.asarray([m["radius"] for m in ms], jnp.float32),
+        }
+        if self.mesh is not None:
+            batched = {
+                k: (self._put_batched(v) if hasattr(v, "shape") else v)
+                for k, v in batched.items()
+            }
+        return batched
 
     def _put_batched(self, tree):
         sh = NamedSharding(self.mesh, P(self.axis_name))
@@ -97,6 +136,14 @@ class BatchedPDHG:
         sopts = self.solver_opts
         tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
+        if self.rof is not None:
+            r = self.rof
+            return _batched_fused_rof_run(
+                self.opts, r["nx"], r["ny"], r["dataterm"], self.interpret,
+                self.batched_problem, self.prox_g, self.prox_fstar,
+                r["f"], r["w"], r["lmb"], r["radius"],
+                state, jnp.asarray(until_iter, jnp.int32), tols,
+            )
         return _batched_pdhg_run(
             self.opts, self.batched_problem, self.prox_g, self.prox_fstar,
             state, jnp.asarray(until_iter, jnp.int32), tols,
@@ -131,3 +178,82 @@ def _batched_pdhg_run(opts, batched_problem, prox_g, prox_fstar, state,
         return jnp.any((s.iteration < until) & ~s.converged)
 
     return jax.lax.while_loop(cond, body, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(12,))
+def _batched_fused_rof_run(opts, nx, ny, dataterm, interpret,
+                           batched_problem, prox_g, prox_fstar,
+                           f, w, lmb, radius, state, until, tols):
+    """Batched analog of fused_rof._fused_rof_run: the vmapped Pallas chunk
+    kernel runs every instance as one grid step (per-instance step sizes
+    travel in the per-grid-step SMEM scalar vector).  Converged instances
+    keep iterating until all converge, matching _batched_pdhg_run."""
+    import dataclasses
+
+    from ..backend.pdhg import residual_and_adapt
+    from ..ops.fused_rof import rof_fused_chunk_batched
+
+    ri = max(int(opts.residual_iter), 1)
+
+    def step_one(problem, pg, pf, s):
+        return pdhg_step(problem, pg, pf, opts, tols, s)
+
+    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+    def generic(s):
+        return vstep(batched_problem, prox_g, prox_fstar, s)
+
+    def vadapt(problem, s, n0, n1, n2, n3, it):
+        return residual_and_adapt(problem, opts, tols, s, n0, n1, n2, n3, it)
+
+    vadapt = jax.vmap(vadapt, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def fused_chunk(s):
+        B = s.x.shape[0]
+        x = s.x.reshape(B, nx, ny)
+        q = s.y.reshape(B, 2, nx, ny)
+        scal = jnp.stack(
+            [s.tau, s.sigma, s.theta,
+             jnp.broadcast_to(lmb, (B,)), jnp.broadcast_to(radius, (B,))],
+            axis=0)
+        x2, q2, xp, qp, norms2 = rof_fused_chunk_batched(
+            x, q, f, w, scal, ri, dataterm=dataterm, interpret=interpret)
+        norms = jnp.sqrt(norms2)
+        s = dataclasses.replace(
+            s,
+            x=x2.reshape(B, -1), y=q2.reshape(B, -1),
+            x_prev=xp.reshape(B, -1), y_prev=qp.reshape(B, -1),
+        )
+        s = vadapt(batched_problem, s, norms[0], norms[1],
+                   norms[2], norms[3], s.iteration + ri - 1)
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return jnp.any(
+            (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+        )
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return jnp.any((s.iteration + ri <= until) & ~s.converged)
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    # epilogue: refresh operator products (per instance)
+    vap = jax.vmap(lambda p, v: p.linop.apply(v))
+    vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
+    state = dataclasses.replace(
+        state,
+        kx=vap(batched_problem, state.x),
+        kty=vad(batched_problem, state.y),
+        kx_prev=vap(batched_problem, state.x_prev),
+        kty_prev=vad(batched_problem, state.y_prev),
+    )
+
+    def cond_c(s):
+        return jnp.any((s.iteration < until) & ~s.converged)
+
+    return lax.while_loop(cond_c, generic, state)
