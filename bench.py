@@ -202,16 +202,16 @@ def main(argv):
         # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs path)
         v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
         _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
-        # ADMM on ROF 512x512 (config 4; generic jitted path — each outer
-        # iteration runs a <=10-step CGLS inner loop = ~20 operator
-        # applies).  Reference estimate: ~15 kernels + the cuBLAS CG loop
+        # ADMM on ROF 512x512 (config 4; fused Pallas chunk incl. the
+        # <=10-step CGLS inner loop = ~20 operator applies/iteration).  Reference estimate: ~15 kernels + the cuBLAS CG loop
         # per iteration, ~600 it/s on prost's target GPUs.
-        from prost_tpu.backend.admm import ADMMOptions, BackendADMM
+        from prost_tpu.backend.admm import ADMMOptions
+        from prost_tpu.ops import FusedROFADMM
 
         _, prob = build_rof(512, 512)
-        admm = BackendADMM(prob, ADMMOptions(residual_iter=10),
-                           _solver_opts())
-        v = measure_backend(admm, short=200, long_=1200, repeats=2)
+        admm = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
+                            _solver_opts())
+        v = measure_backend(admm, short=500, long_=5500, repeats=2)
         _extra("rof512_admm_iters_per_sec", v, "it/s", 600.0)
         # multilabel 8 labels 256x256 (config 3; fused multilabel path).
         # The reference's per-iteration work is ~9x the ROF 512 case per

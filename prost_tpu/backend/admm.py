@@ -181,6 +181,38 @@ class BackendADMM:
         return s.x_half, s.z_half, y, w
 
 
+def admm_residual_adapt(problem, opts: ADMMOptions, tols, q: ADMMState,
+                        primal_res, primal_norm, dual_res, dual_norm):
+    """Store residual norms, test convergence, and run the Boyd
+    rho-adaptation with its dual-variable rescale (backend_admm.cu:632-663).
+    Shared by the generic path and the fused Pallas path (which computes
+    the norms in-kernel)."""
+    tol_rel_p, tol_rel_d, tol_abs_p, tol_abs_d = tols
+    eps_pri = jnp.sqrt(float(problem.nrows)) * tol_abs_p + tol_rel_p * primal_norm
+    eps_dua = jnp.sqrt(float(problem.ncols)) * tol_abs_d + tol_rel_d * dual_norm
+
+    it = q.iteration.astype(q.rho.dtype)
+    c1 = (dual_res < eps_dua) & (opts.arb_tau * it > q.arb_l)
+    c2 = (primal_res < eps_pri) & (opts.arb_tau * it > q.arb_u) & ~c1
+    rho_new = jnp.where(
+        c1, q.rho * q.delta, jnp.where(c2, q.rho / q.delta, q.rho)
+    )
+    delta_new = jnp.where(c1 | c2, q.delta * opts.arb_gamma, q.delta)
+    arb_u = jnp.where(c1, it, q.arb_u)
+    arb_l = jnp.where(c2, it, q.arb_l)
+
+    # rescale dual variables on rho change (backend_admm.cu:650-663)
+    fac = q.rho / rho_new
+    return dataclasses.replace(
+        q,
+        x_dual=q.x_dual * fac, z_dual=q.z_dual * fac,
+        rho=rho_new, delta=delta_new, arb_l=arb_l, arb_u=arb_u,
+        primal_residual=primal_res, primal_var_norm=primal_norm,
+        dual_residual=dual_res, dual_var_norm=dual_norm,
+        converged=(primal_res < eps_pri) & (dual_res < eps_dua),
+    )
+
+
 def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState):
     """One graph-projection ADMM iteration as a pure function."""
     Sigma = problem.scaling_left
@@ -232,30 +264,9 @@ def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState):
         y = -q.rho * Sigma * (q.z_half - q.z_proj + q.z_dual)
         dual_norm = jnp.linalg.norm(sqrt_T * w)
         dual_res = jnp.linalg.norm(sqrt_T * (w + K.apply_adjoint(y)))
-
-        tol_rel_p, tol_rel_d, tol_abs_p, tol_abs_d = tols
-        eps_pri = jnp.sqrt(float(problem.nrows)) * tol_abs_p + tol_rel_p * primal_norm
-        eps_dua = jnp.sqrt(float(problem.ncols)) * tol_abs_d + tol_rel_d * dual_norm
-
-        it = q.iteration.astype(q.rho.dtype)
-        c1 = (dual_res < eps_dua) & (opts.arb_tau * it > q.arb_l)
-        c2 = (primal_res < eps_pri) & (opts.arb_tau * it > q.arb_u) & ~c1
-        rho_new = jnp.where(
-            c1, q.rho * q.delta, jnp.where(c2, q.rho / q.delta, q.rho)
-        )
-        delta_new = jnp.where(c1 | c2, q.delta * opts.arb_gamma, q.delta)
-        arb_u = jnp.where(c1, it, q.arb_u)
-        arb_l = jnp.where(c2, it, q.arb_l)
-
-        # rescale dual variables on rho change (backend_admm.cu:650-663)
-        fac = q.rho / rho_new
-        return dataclasses.replace(
-            q,
-            x_dual=q.x_dual * fac, z_dual=q.z_dual * fac,
-            rho=rho_new, delta=delta_new, arb_l=arb_l, arb_u=arb_u,
-            primal_residual=primal_res, primal_var_norm=primal_norm,
-            dual_residual=dual_res, dual_var_norm=dual_norm,
-            converged=(primal_res < eps_pri) & (dual_res < eps_dua),
+        return admm_residual_adapt(
+            problem, opts, tols, q,
+            primal_res, primal_norm, dual_res, dual_norm,
         )
 
     ri = max(int(opts.residual_iter), 1)

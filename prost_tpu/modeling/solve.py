@@ -30,7 +30,11 @@ class Backend:
             from ..ops import FusedROFPDHG
 
             return FusedROFPDHG(problem, self.opts, solver_opts)
-        return BackendADMM(problem, self.opts, solver_opts)
+        # FusedROFADMM likewise auto-selects the fused chunk kernel (CGLS
+        # inner loop included) on matched structures
+        from ..ops import FusedROFADMM
+
+        return FusedROFADMM(problem, self.opts, solver_opts)
 
 
 def backend_pdhg(**kw) -> Backend:

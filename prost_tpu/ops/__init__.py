@@ -6,10 +6,12 @@ the dominant workload shapes (imaging problems on gradient operators),
 selected automatically when the problem structure matches.
 """
 
+from .fused_admm import FusedROFADMM
 from .fused_multilabel import match_multilabel_structure
 from .fused_rof import FusedROFPDHG, match_rof_structure
 
 __all__ = [
+    "FusedROFADMM",
     "FusedROFPDHG",
     "match_rof_structure",
     "match_multilabel_structure",
