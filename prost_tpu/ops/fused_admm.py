@@ -273,12 +273,22 @@ class FusedROFADMM(BackendADMM):
         tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
         r = self.rof
-        return _fused_admm_run(
-            self.problem, self.prox_g, self.prox_f, self.opts,
-            r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
-            tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
-            state, jnp.asarray(until_iter, jnp.int32),
-        )
+        try:
+            return _fused_admm_run(
+                self.problem, self.prox_g, self.prox_f, self.opts,
+                r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
+                tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
+                state, jnp.asarray(until_iter, jnp.int32),
+            )
+        except jax.errors.JaxRuntimeError as e:
+            # fits_vmem is an estimate; on a Mosaic capacity rejection
+            # fall back to the generic path permanently (the compile
+            # fails before any donated buffer is consumed)
+            self.rof = None
+            if self.solver_opts.verbose:
+                print(f"FusedROFADMM: kernel compile failed ({e});"
+                      " falling back to the generic path.")
+            return super().run(state, until_iter)
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(13,))

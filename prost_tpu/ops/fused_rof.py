@@ -459,25 +459,37 @@ class FusedROFPDHG(BackendPDHG):
         sopts = self.solver_opts
         tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
-        if self.rof is not None:
-            r = self.rof
-            return _fused_rof_run(
-                self.problem, self.prox_g, self.prox_fstar, self.opts,
-                r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
-                tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
-                state, jnp.asarray(until_iter, jnp.int32),
-            )
-        if self.ml is not None:
-            from .fused_multilabel import _fused_ml_run
+        try:
+            if self.rof is not None:
+                r = self.rof
+                return _fused_rof_run(
+                    self.problem, self.prox_g, self.prox_fstar, self.opts,
+                    r["nx"], r["ny"], r["lmb"], r["dataterm"],
+                    self.interpret,
+                    tols, r["f"], r["w"],
+                    jnp.asarray(r["radius"], jnp.float32),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
+            if self.ml is not None:
+                from .fused_multilabel import _fused_ml_run
 
-            m = self.ml
-            return _fused_ml_run(
-                self.problem, self.prox_g, self.prox_fstar, self.opts,
-                m["nx"], m["ny"], m["L"], self.interpret,
-                tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
-                jnp.asarray(m["d_s"], jnp.float32),
-                state, jnp.asarray(until_iter, jnp.int32),
-            )
+                m = self.ml
+                return _fused_ml_run(
+                    self.problem, self.prox_g, self.prox_fstar, self.opts,
+                    m["nx"], m["ny"], m["L"], self.interpret,
+                    tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
+                    jnp.asarray(m["d_s"], jnp.float32),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
+        except jax.errors.JaxRuntimeError as e:
+            # fits_vmem is an estimate; if the Mosaic compile rejects the
+            # whole-plane kernel (VMEM/SMEM capacity) fall back to the
+            # generic path permanently.  The compile fails before any
+            # donated buffer is consumed, so re-running is safe.
+            self.rof = self.ml = None
+            if self.solver_opts.verbose:
+                print(f"FusedROFPDHG: kernel compile failed ({e});"
+                      " falling back to the generic path.")
         return super().run(state, until_iter)
 
 

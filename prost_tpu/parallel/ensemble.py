@@ -138,12 +138,18 @@ class BatchedPDHG:
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
         if self.rof is not None:
             r = self.rof
-            return _batched_fused_rof_run(
-                self.opts, r["nx"], r["ny"], r["dataterm"], self.interpret,
-                self.batched_problem, self.prox_g, self.prox_fstar,
-                r["f"], r["w"], r["lmb"], r["radius"],
-                state, jnp.asarray(until_iter, jnp.int32), tols,
-            )
+            try:
+                return _batched_fused_rof_run(
+                    self.opts, r["nx"], r["ny"], r["dataterm"],
+                    self.interpret,
+                    self.batched_problem, self.prox_g, self.prox_fstar,
+                    r["f"], r["w"], r["lmb"], r["radius"],
+                    state, jnp.asarray(until_iter, jnp.int32), tols,
+                )
+            except jax.errors.JaxRuntimeError:
+                # Mosaic capacity rejection of the whole-plane kernel:
+                # fall back to the generic vmapped path permanently
+                self.rof = None
         return _batched_pdhg_run(
             self.opts, self.batched_problem, self.prox_g, self.prox_fstar,
             state, jnp.asarray(until_iter, jnp.int32), tols,
