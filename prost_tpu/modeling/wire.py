@@ -454,6 +454,35 @@ register_block(
         row, col, data["nx"], data["ny"], data["L"],
         np.asarray(_dec(data["kernel"]))),
 )
+# Reference-compat aliases (factory.cpp:118-129): the reference
+# distinguishes sparse/dense kron blocks and ships identity as its own
+# kind; here one class serves each kron orientation and identity is a
+# single unit diagonal, so these names only need a from_data entry.
+# to_block_spec resolves by class FIRST match, so aliases register after
+# the canonical names.
+register_block(
+    "dense_kron_id", BlockKronId,
+    lambda b: {"diaglength": b.diaglength, "data": _enc(np.asarray(b.data))},
+    lambda row, col, data: BlockKronId.create(
+        row, col, data["diaglength"], np.asarray(_dec(data["data"]))),
+)
+register_block(
+    "id_kron_dense", BlockIdKron,
+    lambda b: {"ncopies": b.ncopies, "data": _enc(np.asarray(b.data))},
+    lambda row, col, data: BlockIdKron.create(
+        row, col, data["ncopies"], np.asarray(_dec(data["data"]))),
+)
+register_block(
+    "identity", BlockDiags,
+    lambda b: {"nrows": b.nrows, "ncols": b.ncols,
+               "factors": _enc(np.asarray(b.factors)),
+               "offsets": list(b.offsets)},
+    lambda row, col, data: BlockDiags.create(
+        row, col, data.get("nrows", data.get("n")),
+        data.get("ncols", data.get("n")),
+        np.asarray(_dec(data.get("factors", [data.get("factor", 1.0)]))),
+        data.get("offsets", [0])),
+)
 register_block(
     "zero", BlockZero,
     lambda b: {"nrows": b.nrows, "ncols": b.ncols},
