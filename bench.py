@@ -108,6 +108,39 @@ def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
     return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
 
 
+def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9):
+    """TV deblurring: conv block + gradient block (the full BASELINE
+    config 2 workload, example_deblurring.m); routed through the fused
+    Pallas deblur kernel (ops/fused_deblur) on TPU."""
+    import prost_tpu as pt
+    from prost_tpu import block, function
+    from prost_tpu.ops import FusedROFPDHG
+
+    # motion-blur kernel (examples/example_deblurring.py::motion_kernel)
+    kern = np.zeros((klen, klen))
+    c = (klen - 1) / 2
+    t = np.deg2rad(45.0)
+    for i in np.linspace(-c, c, 4 * klen):
+        y, x = int(round(c + i * np.sin(t))), int(round(c + i * np.cos(t)))
+        kern[y, x] = 1.0
+    kern /= kern.sum()
+
+    n = nx * ny
+    ny2, nx2 = ny + klen - 1, nx + klen - 1
+    rng = np.random.RandomState(seed)
+    f_blurred = rng.rand(ny2 * nx2)
+
+    u = pt.Variable(n)
+    v = pt.Variable(nx2 * ny2)
+    g = pt.Variable(2 * n)
+    prob = pt.MinProblem([u], [v, g])
+    prob.add_function(v, function.sum_1d("square", 1, f_blurred, lmb))
+    prob.add_function(g, function.sum_norm2(2, False, "abs"))
+    prob.add_constraint(u, v, block.conv2d(nx, ny, 1, kern))
+    prob.add_constraint(u, g, block.gradient2d(nx, ny, 1))
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
+
+
 def build_ensemble(B, nx, ny, seed=42):
     """B-instance ROF ensemble (BASELINE config 5) on one chip: the batch
     axis becomes the fused chunk kernel's grid axis (parallel/ensemble.py).
@@ -202,6 +235,12 @@ def main(argv):
         # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs path)
         v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
         _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
+        # TV deblurring 512x512 (full config 2: conv + gradient blocks,
+        # fused deblur kernel with the conv as in-kernel shifted-adds).
+        # Reference: ~15 kernels/iter incl. two cusparse csrmv over the
+        # convmtx2 matrix; ~1500 it/s estimate on prost's target GPUs.
+        v = measure_backend(build_deblur(512, 512), short=1000, long_=11000)
+        _extra("deblur512_pdhg_iters_per_sec", v, "it/s", 1500.0)
         # ADMM on ROF 512x512 (config 4; fused Pallas chunk incl. the
         # <=10-step CGLS inner loop = ~20 operator applies/iteration).  Reference estimate: ~15 kernels + the cuBLAS CG loop
         # per iteration, ~600 it/s on prost's target GPUs.

@@ -7,6 +7,7 @@ selected automatically when the problem structure matches.
 """
 
 from .fused_admm import FusedROFADMM
+from .fused_deblur import match_deblur_structure
 from .fused_multilabel import match_multilabel_structure
 from .fused_rof import FusedROFPDHG, match_rof_structure
 
@@ -15,4 +16,5 @@ __all__ = [
     "FusedROFPDHG",
     "match_rof_structure",
     "match_multilabel_structure",
+    "match_deblur_structure",
 ]

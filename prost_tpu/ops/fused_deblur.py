@@ -1,0 +1,463 @@
+"""Fused Pallas PDHG iteration for TV-deblurring problems (conv + gradient).
+
+Workload (example_deblurring.m / examples/example_deblurring.py — BASELINE
+config 2):
+
+    min_u  lmb/2 ||B u - f||^2 + ||grad u||_{2,1}
+
+in saddle form with primal u (one (nx, ny) plane), duals y_v (the blur
+residual multiplier, one FULL-convolution-sized (nx2, ny2) plane) and
+q = (qx, qy) (the TV dual):
+
+    K = [ B (full 2D convolution, m2 x n) ; grad2d (2n x n) ]
+
+Design (extends ops/fused_rof.py to a second, convolutional block):
+
+* The convolution runs INSIDE the kernel as statically-unrolled
+  shifted-adds over the nonzero kernel taps — a blur kernel has O(10)
+  nonzeros, so B u costs ~taps VPU passes over a VMEM-resident plane and
+  needs no im2col / index traffic.  Forward full conv and its adjoint
+  (valid correlation) are exact roll+mask stencils, like the gradient.
+* Every plane is held EMBEDDED in the (nx2, ny2) = (nx+kx-1, ny+ky-1)
+  full-conv geometry with zero padding outside the (nx, ny) region; the
+  padding is provably preserved at zero by every update, so the kernel
+  is shape-uniform and residual norms over the padded planes equal the
+  flat-vector norms of the generic path.
+* Exactly like fused_rof: ONE kernel per residual_iter-sized chunk, the
+  forward products (B u, grad u) loop-carried between iterations, the four
+  preconditioned residual norms reduced in-kernel to SMEM, and scalar
+  step adaptation / stopping running through the generic
+  ``residual_and_adapt`` — zero semantic drift from the reference
+  algorithm (backend_pdhg.cu:313-381).
+* The alpha preconditioner is NOT constant here: Sigma over the conv rows
+  is a boundary-varying plane (row sums of |B|), passed in as a VMEM
+  plane; Sigma over gradient rows (1/2) and Tau (1/(sum|k| + 4)) are
+  structural constants baked into the kernel.
+
+Layout contract: u viewed (nx, ny) embedded at [0:nx, 0:ny] of (nx2, ny2);
+y = [y_v (m2 = nx2*ny2) ; qx (n) ; qy (n)] flat, matching BlockConv2D at
+row 0 + BlockGradient2D(label_first=False, L=1) at row m2.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..backend.pdhg import PDHGState, pdhg_step, residual_and_adapt
+from ..linop.base import LinearOperator
+from ..linop.conv import BlockConv2D
+from ..linop.gradient import BlockGradient2D
+from ..prox.combinators import ProxMoreau
+from ..prox.elemop import ProxElem1D, ProxElemNorm2
+from ..prox.standalone import ProxZero
+
+_VMEM_LIMIT = 96 * 1024 * 1024
+_MAX_TAPS = 96  # statically unrolled shifted-adds per conv apply
+
+
+def _conv_ops(shape, nx, ny, taps, roll):
+    """Forward full convolution / adjoint (valid correlation) as unrolled
+    roll stencils on (nx2, ny2) planes whose [nx:, :] / [:, ny:] padding is
+    zero.
+
+    Forward: out[i] = sum_d k[d] u[i-d] — the wrap rows a positive roll
+    brings in are padding (nx2 - d >= nx), i.e. exactly zero, so no mask
+    is needed and the result covers the full output plane.
+    Adjoint: out[i] = sum_d k[d] v[i+d], valid only on the (nx, ny)
+    region; the negative-roll wrap lands in rows/cols >= nx (resp. ny)
+    and is removed by the region mask.
+    """
+    nx2, ny2 = shape
+    ri = lax.broadcasted_iota(jnp.int32, shape, 0)
+    ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+    region = (ri < nx) & (ci < ny)
+
+    def roll2(u, dx, dy):
+        if dx:
+            u = roll(u, dx, 0)
+        if dy:
+            u = roll(u, dy, 1)
+        return u
+
+    def fwd(u):
+        acc = None
+        for dx, dy, w in taps:
+            term = w * roll2(u, dx, dy)
+            acc = term if acc is None else acc + term
+        return acc
+
+    def adj(v):
+        acc = None
+        for dx, dy, w in taps:
+            term = w * roll2(v, (nx2 - dx) % nx2, (ny2 - dy) % ny2)
+            acc = term if acc is None else acc + term
+        return jnp.where(region, acc, 0.0)
+
+    return fwd, adj, region
+
+
+def _grad_ops(shape, nx, ny, roll):
+    """Forward-difference / adjoint stencils restricted to the embedded
+    (nx, ny) region of an (nx2, ny2) plane (cf. fused_rof._shift_ops, whose
+    masks use the full plane extents)."""
+    nx2, ny2 = shape
+    ri = lax.broadcasted_iota(jnp.int32, shape, 0)
+    ci = lax.broadcasted_iota(jnp.int32, shape, 1)
+    in_r = ri < (nx - 1)
+    in_c = ci < (ny - 1)
+    region = (ri < nx) & (ci < ny)
+
+    def dx(u):
+        return jnp.where(in_r, roll(u, nx2 - 1, 0) - u, 0.0)
+
+    def dy(u):
+        return jnp.where(in_c, roll(u, ny2 - 1, 1) - u, 0.0)
+
+    def dxt(p):
+        lead = jnp.where(ri > 0, roll(p, 1, 0), 0.0)
+        return jnp.where(region, lead - jnp.where(in_r, p, 0.0), 0.0)
+
+    def dyt(p):
+        lead = jnp.where(ci > 0, roll(p, 1, 1), 0.0)
+        return jnp.where(region, lead - jnp.where(in_c, p, 0.0), 0.0)
+
+    return dx, dy, dxt, dyt
+
+
+def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, yv0, qx0, qy0,
+                fb, sv, count, nx, ny, taps, sig_q, tau_t, roll):
+    """``count - 1`` plain iterations then the aligned iteration with its
+    four preconditioned residual norms (squared), all on VMEM-resident
+    embedded planes.  Mirrors fused_rof._chunk_core."""
+    shape = fb.shape
+    conv_fwd, conv_adj, _ = _conv_ops(shape, nx, ny, taps, roll)
+    gops = _grad_ops(shape, nx, ny, roll)
+    _dx, _dy, _dxt, _dyt = gops
+
+    tau_s = tau_raw * tau_t            # tau * Tau
+    tsv = sigma_raw * sv               # sigma * Sigma_v (plane)
+    sq = sigma_raw * sig_q             # sigma * Sigma_q
+    sig_p = sq * (1.0 + theta)
+    sig_t = sq * theta
+    inv_l = 1.0 / lmb
+    dual_v_den = 1.0 / (1.0 + tsv * inv_l)
+    dual_v_sh = tsv * fb               # hoisted t * fb plane
+
+    def update(x, yv, qx, qy, bx, gx, gy):
+        kty = conv_adj(yv) + _dxt(qx) + _dyt(qy)
+        x2 = x - tau_s * kty
+        bx2 = conv_fwd(x2)
+        gx2 = _dx(x2)
+        gy2 = _dy(x2)
+        av = yv + tsv * ((1.0 + theta) * bx2 - theta * bx)
+        yv2 = (av - dual_v_sh) * dual_v_den
+        ax = qx + sig_p * gx2 - sig_t * gx
+        ay = qy + sig_p * gy2 - sig_t * gy
+        scale = jnp.minimum(1.0, radius * lax.rsqrt(ax * ax + ay * ay))
+        return x2, yv2, ax * scale, ay * scale, bx2, gx2, gy2, kty
+
+    def body(_, carry):
+        x, yv, qx, qy, bx, gx, gy = carry
+        x, yv, qx, qy, bx, gx, gy, _ = update(x, yv, qx, qy, bx, gx, gy)
+        return x, yv, qx, qy, bx, gx, gy
+
+    x, yv, qx, qy, bxp, gxp, gyp = lax.fori_loop(
+        0, count - 1, body,
+        (x0, yv0, qx0, qy0, conv_fwd(x0), _dx(x0), _dy(x0)))
+
+    # aligned iteration; (bxp, gxp, gyp) = K x_prev carried for free
+    x2, yv2, qx2, qy2, bx2, gx2, gy2, ktyp = update(
+        x, yv, qx, qy, bxp, gxp, gyp)
+    kty2 = conv_adj(yv2) + _dxt(qx2) + _dyt(qy2)
+
+    # preconditioned residuals (backend/pdhg.py::compute_residuals),
+    # segment-wise sqrt(Sigma): plane for v, constant for q
+    sqrt_sv = jnp.sqrt(sv)
+    sqrt_sq = sig_q ** 0.5
+    sqrt_t = tau_t ** 0.5
+    inv_v = 1.0 / (sigma_raw * sqrt_sv)
+    inv_q = 1.0 / (sigma_raw * sqrt_sq)
+    zh_v = (yv - yv2) * inv_v + sqrt_sv * ((1.0 + theta) * bx2 - theta * bxp)
+    zh_x = (qx - qx2) * inv_q + sqrt_sq * ((1.0 + theta) * gx2 - theta * gxp)
+    zh_y = (qy - qy2) * inv_q + sqrt_sq * ((1.0 + theta) * gy2 - theta * gyp)
+    pd_v = zh_v - sqrt_sv * bx2
+    pd_x = zh_x - sqrt_sq * gx2
+    pd_y = zh_y - sqrt_sq * gy2
+    wh = (x - x2) * (1.0 / (tau_raw * sqrt_t)) - sqrt_t * ktyp
+    dd = wh + sqrt_t * kty2
+
+    norms = (
+        jnp.sum(pd_v * pd_v) + jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y),
+        jnp.sum(zh_v * zh_v) + jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y),
+        jnp.sum(dd * dd),
+        jnp.sum(wh * wh),
+    )
+    return x2, yv2, qx2, qy2, x, yv, qx, qy, norms
+
+
+def _deblur_chunk_kernel(scal_ref, x_ref, yv_ref, q_ref, f_ref, sv_ref,
+                         xo_ref, yvo_ref, qo_ref,
+                         xpo_ref, yvpo_ref, qpo_ref, norms_ref, *,
+                         count: int, nx: int, ny: int, taps, sig_q: float,
+                         tau_t: float):
+    """One residual_iter-sized chunk in ONE kernel, residual norms reduced
+    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, lmb, radius]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    q = q_ref[...]
+    (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        x_ref[...], yv_ref[...], q[0], q[1], f_ref[...], sv_ref[...],
+        count, nx, ny, taps, sig_q, tau_t, pltpu.roll)
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    xo_ref[...] = x2
+    yvo_ref[...] = yv2
+    qo_ref[0] = qx2
+    qo_ref[1] = qy2
+    xpo_ref[...] = xp
+    yvpo_ref[...] = yvp
+    qpo_ref[0] = qxp
+    qpo_ref[1] = qyp
+
+
+def deblur_fused_chunk(x, yv, q, fb, sv, tau, sigma, theta, lmb, radius,
+                       count, nx, ny, taps, sig_q, tau_t,
+                       interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration.  All
+    plane arguments are (nx2, ny2)-embedded (q is (2, nx2, ny2)).  Returns
+    (x2, yv2, q2, x_prev, yv_prev, q_prev, norms2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scal = jnp.stack([
+        jnp.asarray(tau, x.dtype), jnp.asarray(sigma, x.dtype),
+        jnp.asarray(theta, x.dtype),
+        jnp.asarray(lmb, x.dtype), jnp.asarray(radius, x.dtype),
+    ])
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (x, yv, q, x, yv, q)]
+    out_shape.append(jax.ShapeDtypeStruct((4,), x.dtype))
+    return pl.pallas_call(
+        partial(_deblur_chunk_kernel, count=int(count), nx=nx, ny=ny,
+                taps=taps, sig_q=sig_q, tau_t=tau_t),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 5,
+        out_specs=[plane] * 6 + [smem],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, x, yv, q, fb, sv)
+
+
+def deblur_fits_vmem(nx2: int, ny2: int, itemsize: int = 4) -> bool:
+    """~18 live (nx2, ny2) planes must fit the raised VMEM limit."""
+    return 18 * nx2 * ny2 * itemsize <= _VMEM_LIMIT
+
+
+def _kernel_taps(kernel):
+    """Static (dx, dy, weight) list of the nonzero convolution taps; the
+    kernel array is concrete at match time."""
+    import numpy as np
+
+    k = np.asarray(kernel)
+    taps = [(int(dx), int(dy), float(k[dx, dy]))
+            for dx in range(k.shape[0]) for dy in range(k.shape[1])
+            if k[dx, dy] != 0.0]
+    return tuple(taps)
+
+
+def match_deblur_structure(problem, prox_g, prox_fstar):
+    """Detect the fusable deblurring structure; returns a dict or None.
+    ``prox_g``/``prox_fstar`` are the backend's (Moreau-synthesized) lists.
+
+    Conditions (built by examples/example_deblurring.py via MinProblem):
+    * linop = [BlockConv2D(L=1) at (0, 0); BlockGradient2D(L=1,
+      label_first=False) at (m2, 0)], same (nx, ny)
+    * prox_g = one ProxZero over the whole primal
+    * prox_fstar = Moreau(1D square, coeffs (1, fb, lmb, 0, 0)) over the
+      conv rows + Moreau(norm2 abs, dim-2 planar, coeffs (1, 0, r, 0, 0))
+      or a direct norm2 ind_leq0 ball over the gradient rows
+    * alpha preconditioner: Tau and the gradient-row Sigma constant (the
+      conv-row Sigma plane may vary at the boundary)
+    """
+    import numpy as np
+
+    from ..config import dtype
+
+    if dtype() != jnp.float32:
+        return None
+    linop = problem.linop
+    if not isinstance(linop, LinearOperator) or len(linop.blocks) != 2:
+        return None
+    conv = next((b for b in linop.blocks if isinstance(b, BlockConv2D)), None)
+    grad = next((b for b in linop.blocks
+                 if isinstance(b, BlockGradient2D)), None)
+    if conv is None or grad is None:
+        return None
+    if conv.L != 1 or grad.L != 1 or grad.label_first:
+        return None
+    if conv.nx != grad.nx or conv.ny != grad.ny:
+        return None
+    nx, ny = conv.nx, conv.ny
+    n = nx * ny
+    m2 = conv.nx2 * conv.ny2
+    if conv.row != 0 or conv.col != 0 or grad.row != m2 or grad.col != 0:
+        return None
+    taps = _kernel_taps(conv.kernel)
+    if not taps or len(taps) > _MAX_TAPS:
+        return None
+
+    # --- primal prox: zero (the data term lives on the dual side) ----------
+    if len(prox_g) != 1 or not isinstance(prox_g[0], ProxZero):
+        return None
+
+    # --- dual proxes by index ----------------------------------------------
+    if len(prox_fstar) != 2:
+        return None
+    pv = next((p for p in prox_fstar if p.index == 0), None)
+    pq = next((p for p in prox_fstar if p.index == m2), None)
+    if pv is None or pq is None or pv.size != m2 or pq.size != 2 * n:
+        return None
+
+    if not isinstance(pv, ProxMoreau) or not isinstance(pv.child, ProxElem1D):
+        return None
+    sq = pv.child
+    if sq.fun != "square":
+        return None
+    a, b, c, d, e, _, _ = sq.coeffs
+    if not (np.isscalar(a) and a == 1.0 and np.isscalar(c) and c > 0.0):
+        return None
+    if not (np.isscalar(d) and d == 0.0 and np.isscalar(e) and e == 0.0):
+        return None
+    lmb = float(c)
+    fb = jnp.asarray(
+        np.broadcast_to(np.asarray(b, np.float32), (m2,))
+    ).reshape(conv.nx2, conv.ny2)
+
+    if isinstance(pq, ProxMoreau):
+        inner = pq.child
+        if not isinstance(inner, ProxElemNorm2) or inner.fun != "abs":
+            return None
+        if inner.dim != 2 or inner.interleaved:
+            return None
+        ia, ib, ic, idd, ie, _, _ = inner.coeffs
+        for v, want in ((ia, 1.0), (ib, 0.0), (idd, 0.0), (ie, 0.0)):
+            if not (np.isscalar(v) and v == want):
+                return None
+        if not np.isscalar(ic):
+            return None
+        radius = float(ic)
+    elif isinstance(pq, ProxElemNorm2) and pq.fun == "ind_leq0":
+        if pq.dim != 2 or pq.interleaved:
+            return None
+        ia, ib, ic, idd, ie, _, _ = pq.coeffs
+        for v in (ia, ib, ic):
+            if not np.isscalar(v):
+                return None
+        if idd != 0.0 or ie != 0.0 or ia <= 0:
+            return None
+        radius = float(ib) / float(ia)
+    else:
+        return None
+
+    # --- preconditioner: Tau and gradient-Sigma constant, conv-Sigma plane -
+    sl = np.asarray(problem.scaling_left)
+    sr = np.asarray(problem.scaling_right)
+    if not np.allclose(sr, sr[0]):
+        return None
+    sg = sl[m2:]
+    if not np.allclose(sg, sg[0]):
+        return None
+    if not deblur_fits_vmem(conv.nx2, conv.ny2):
+        return None
+    return {
+        "nx": nx, "ny": ny, "nx2": conv.nx2, "ny2": conv.ny2,
+        "taps": taps, "fb": fb,
+        "sv": jnp.asarray(sl[:m2], jnp.float32).reshape(conv.nx2, conv.ny2),
+        "lmb": lmb, "radius": radius,
+        "sig_q": float(sg[0]), "tau_t": float(sr[0]),
+    }
+
+
+def _embed(plane, nx2, ny2):
+    """Zero-pad an (a, b) or (2, a, b) array into the (nx2, ny2) geometry."""
+    pad = [(0, nx2 - plane.shape[-2]), (0, ny2 - plane.shape[-1])]
+    if plane.ndim == 3:
+        pad = [(0, 0)] + pad
+    return jnp.pad(plane, pad)
+
+
+@partial(jax.jit,
+         static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+         donate_argnums=(16,))
+def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
+                      taps, sig_q, tau_t, lmb, interpret,
+                      tols, fb, sv, radius, state, until):
+    """Phase structure identical to fused_rof._fused_rof_run: align ->
+    single-kernel chunks (+ scalar adaptation via residual_and_adapt) ->
+    K-product epilogue -> generic tail."""
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    m2 = nx2 * ny2
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(s: PDHGState) -> PDHGState:
+        x = _embed(s.x.reshape(nx, ny), nx2, ny2)
+        yv = s.y[:m2].reshape(nx2, ny2)
+        q = _embed(s.y[m2:].reshape(2, nx, ny), nx2, ny2)
+        x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk(
+            x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
+            ri, nx, ny, taps, sig_q, tau_t, interpret=interpret)
+        norms = jnp.sqrt(norms2)
+
+        def unpack(xe, yve, qe):
+            return (
+                xe[:nx, :ny].reshape(-1),
+                jnp.concatenate([yve.reshape(-1),
+                                 qe[:, :nx, :ny].reshape(-1)]),
+            )
+
+        x_new, y_new = unpack(x2, yv2, q2)
+        xp_new, yp_new = unpack(xp, yvp, qp)
+        s = dataclasses.replace(
+            s, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)

@@ -446,13 +446,19 @@ class FusedROFPDHG(BackendPDHG):
         usable = (jax.default_backend() != "cpu") or interpret
         usable = usable and opts.stepsize != "alg2"
         self.rof = match_rof_structure(problem) if usable else None
-        self.ml = None
+        self.ml = self.deblur = None
         if usable and self.rof is None:
             from .fused_multilabel import match_multilabel_structure
 
             self.ml = match_multilabel_structure(problem)
-        if (self.rof or self.ml) and self.solver_opts.verbose:
-            kind = "ROF" if self.rof else "multilabel"
+        if usable and self.rof is None and self.ml is None:
+            from .fused_deblur import match_deblur_structure
+
+            self.deblur = match_deblur_structure(
+                problem, self.prox_g, self.prox_fstar)
+        if (self.rof or self.ml or self.deblur) and self.solver_opts.verbose:
+            kind = ("ROF" if self.rof
+                    else "multilabel" if self.ml else "deblur")
             print(f"FusedROFPDHG: using fused Pallas iteration ({kind}).")
 
     def run(self, state: PDHGState, until_iter: int) -> PDHGState:
@@ -481,12 +487,24 @@ class FusedROFPDHG(BackendPDHG):
                     jnp.asarray(m["d_s"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
                 )
+            if self.deblur is not None:
+                from .fused_deblur import _fused_deblur_run
+
+                d = self.deblur
+                return _fused_deblur_run(
+                    self.problem, self.prox_g, self.prox_fstar, self.opts,
+                    d["nx"], d["ny"], d["nx2"], d["ny2"], d["taps"],
+                    d["sig_q"], d["tau_t"], d["lmb"], self.interpret,
+                    tols, d["fb"], d["sv"],
+                    jnp.asarray(d["radius"], jnp.float32),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
         except jax.errors.JaxRuntimeError as e:
             # fits_vmem is an estimate; if the Mosaic compile rejects the
             # whole-plane kernel (VMEM/SMEM capacity) fall back to the
             # generic path permanently.  The compile fails before any
             # donated buffer is consumed, so re-running is safe.
-            self.rof = self.ml = None
+            self.rof = self.ml = self.deblur = None
             if self.solver_opts.verbose:
                 print(f"FusedROFPDHG: kernel compile failed ({e});"
                       " falling back to the generic path.")

@@ -1,0 +1,124 @@
+"""Fused Pallas deblurring iteration (ops/fused_deblur.py) vs the generic
+PDHG path.
+
+Runs in Pallas interpreter mode on CPU; the real-TPU path is exercised by
+bench.py.  Problem construction mirrors examples/example_deblurring.py
+(conv block + gradient block via MinProblem).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import prost_tpu as pt
+from prost_tpu import block, function
+from prost_tpu.backend import BackendPDHG, PDHGOptions
+from prost_tpu.ops import FusedROFPDHG, match_deblur_structure
+
+
+def _kernel(k=5):
+    """Small motion-ish blur kernel with an asymmetric support."""
+    ker = np.zeros((k, k))
+    for i in range(k):
+        ker[i, i] = 1.0
+    ker[0, k - 1] = 0.5
+    return ker / ker.sum()
+
+
+def deblur_problem(nx, ny, lmb=50.0, seed=0, k=5):
+    rng = np.random.RandomState(seed)
+    f = rng.rand(nx * ny)
+
+    kernel = _kernel(k)
+    ny2, nx2 = ny + k - 1, nx + k - 1
+
+    u = pt.Variable(nx * ny)
+    v = pt.Variable(nx2 * ny2)
+    g = pt.Variable(2 * nx * ny)
+    prob = pt.MinProblem([u], [v, g])
+    f_blurred = rng.rand(nx2 * ny2)
+    prob.add_function(v, function.sum_1d("square", 1, f_blurred, lmb))
+    prob.add_function(g, function.sum_norm2(2, False, "abs"))
+    prob.add_constraint(u, v, block.conv2d(nx, ny, 1, kernel))
+    prob.add_constraint(u, g, block.gradient2d(nx, ny, 1))
+    return prob.finalize(), f_blurred
+
+
+def _opts():
+    return pt.SolverOptions(verbose=False, tol_rel_primal=0, tol_rel_dual=0,
+                            tol_abs_primal=0, tol_abs_dual=0)
+
+
+def test_match_deblur_structure():
+    prob, f_blurred = deblur_problem(16, 16, lmb=25.0)
+    b = BackendPDHG(prob, PDHGOptions(scale_steps_operator=False), _opts())
+    m = match_deblur_structure(prob, b.prox_g, b.prox_fstar)
+    assert m is not None
+    assert m["nx"] == 16 and m["nx2"] == 20 and m["lmb"] == 25.0
+    assert m["radius"] == 1.0
+    np.testing.assert_allclose(np.asarray(m["fb"]).ravel(),
+                               f_blurred.astype(np.float32))
+    # gradient-row Sigma = 1/2, Tau = 1/(sum|k| + 4) = 1/5
+    assert m["sig_q"] == pytest.approx(0.5)
+    assert m["tau_t"] == pytest.approx(0.2, rel=1e-5)
+    # conv-row Sigma plane: interior 1/sum|k| = 1, smaller than the
+    # boundary values (fewer taps -> smaller row sums -> larger Sigma)
+    sv = np.asarray(m["sv"])
+    assert sv[10, 10] == pytest.approx(1.0, rel=1e-5)
+    assert sv.max() >= sv[10, 10]
+
+
+def test_no_match_on_wrong_structure():
+    # plain ROF (no conv block) must not match the deblur kernel
+    from prost_tpu.linop import BlockGradient2D, LinearOperator
+    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+    n = 16 * 16
+    f = np.random.RandomState(1).rand(n).astype(np.float32)
+    grad = BlockGradient2D(row=0, col=0, nx=16, ny=16, L=1)
+    prox_g = [ProxElem1D(index=0, size=n, fun="square",
+                         coeffs=(1.0, f, 8.0, 0.0, 0.0, 0.0, 0.0))]
+    pn = ProxElemNorm2(index=0, size=2 * n, count=n, dim=2, interleaved=False,
+                       fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    prob = pt.Problem.create(
+        LinearOperator.create([grad]), prox_g=prox_g,
+        prox_fstar=[ProxMoreau(index=0, size=2 * n, child=pn)])
+    b = BackendPDHG(prob, PDHGOptions(scale_steps_operator=False), _opts())
+    assert match_deblur_structure(prob, b.prox_g, b.prox_fstar) is None
+
+
+@pytest.mark.parametrize("residual_iter", [1, 7, 10])
+def test_fused_deblur_matches_generic(residual_iter):
+    nx = ny = 20
+    prob, _ = deblur_problem(nx, ny, lmb=40.0, seed=2)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 60)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.deblur is not None
+    fs = fus.run(fus.initial_state(), 60)
+
+    assert int(fs.iteration) == int(gs.iteration) == 60
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=3e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=3e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+    np.testing.assert_allclose(
+        float(fs.dual_residual), float(gs.dual_residual), rtol=1e-3)
+
+
+def test_fused_deblur_full_solve_converges():
+    prob, _ = deblur_problem(16, 16, lmb=30.0, seed=3)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(max_iters=6000, verbose=False,
+                             tol_rel_primal=1e-5, tol_rel_dual=1e-5,
+                             tol_abs_primal=1e-5, tol_abs_dual=1e-5)
+    solver = pt.Solver(
+        prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True), sopts)
+    res = solver.solve()
+    assert res.result == pt.ConvergenceResult.CONVERGED
