@@ -141,6 +141,45 @@ def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9):
     return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
 
 
+def build_tight(nx, ny, L=4, lmb=1.0, seed=42):
+    """Tight multilabel relaxation (BASELINE config 3, the heavier
+    variant: pairwise multipliers via kron(P^T, I_n) + identity blocks);
+    routed through the fused Pallas tight kernel (ops/fused_tight)."""
+    import prost_tpu as pt
+    from prost_tpu import block, function
+    from prost_tpu.ops import FusedROFPDHG
+
+    n = nx * ny
+    k = L * (L - 1) // 2
+    gray = _test_image(nx, ny, seed)
+    means = np.linspace(0, 1, L)
+    f = np.stack([(gray - m) ** 2 for m in means], axis=0).reshape(-1)
+
+    P = np.zeros((2 * k, 2 * L))
+    idx = 0
+    for i in range(L):
+        for j in range(i + 1, L):
+            P[idx, i], P[idx, j] = 1.0, -1.0
+            P[idx + k, i + L], P[idx + k, j + L] = 1.0, -1.0
+            idx += 1
+
+    u = pt.Variable(n * L)
+    v = pt.Variable(2 * n * k)
+    q = pt.Variable(2 * n * L)
+    p = pt.Variable(2 * n * k)
+    s = pt.Variable(n)
+    prob = pt.MinMaxProblem([u, v], [q, p, s])
+    prob.add_function(u, function.sum_1d("ind_geq0", 1, 0, 1, f, 0))
+    prob.add_function(p, function.sum_norm2(2, False, "ind_leq0",
+                                            1 / lmb, 1, 1))
+    prob.add_function(s, function.sum_1d("zero", 1, 0, 1, 1, 0))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
+    prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
+    prob.add_dual_pair(v, p, block.identity())
+    prob.add_dual_pair(v, q, block.sparse_kron_id(P.T, n))
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
+
+
 def build_ensemble(B, nx, ny, seed=42):
     """B-instance ROF ensemble (BASELINE config 5) on one chip: the batch
     axis becomes the fused chunk kernel's grid axis (parallel/ensemble.py).
@@ -258,6 +297,11 @@ def main(argv):
         v = measure_backend(build_multilabel(256, 256, L=8),
                             short=500, long_=5500)
         _extra("multilabel256x8_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        # tight multilabel relaxation 128x128, 4 labels (config 3's
+        # heavier variant: 6 pairwise multiplier planes).  Reference
+        # estimate ~2000 it/s (13 planes of state, ~12 kernels/iter).
+        v = measure_backend(build_tight(128, 128, L=4))
+        _extra("tight128x4_pdhg_iters_per_sec", v, "it/s", 2000.0)
         # 1024-instance ROF ensemble at 128x128 (config 5).  Metric:
         # instance-iterations/sec.  The reference runs one instance at a
         # time (~5000 it/s at this launch-bound size), so its

@@ -10,6 +10,7 @@ from .fused_admm import FusedROFADMM
 from .fused_deblur import match_deblur_structure
 from .fused_multilabel import match_multilabel_structure
 from .fused_rof import FusedROFPDHG, match_rof_structure
+from .fused_tight import match_tight_structure
 
 __all__ = [
     "FusedROFADMM",
@@ -17,4 +18,5 @@ __all__ = [
     "match_rof_structure",
     "match_multilabel_structure",
     "match_deblur_structure",
+    "match_tight_structure",
 ]

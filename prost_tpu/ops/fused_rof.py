@@ -456,9 +456,16 @@ class FusedROFPDHG(BackendPDHG):
 
             self.deblur = match_deblur_structure(
                 problem, self.prox_g, self.prox_fstar)
-        if (self.rof or self.ml or self.deblur) and self.solver_opts.verbose:
+        self.tight = None
+        if usable and not (self.rof or self.ml or self.deblur):
+            from .fused_tight import match_tight_structure
+
+            self.tight = match_tight_structure(problem)
+        if ((self.rof or self.ml or self.deblur or self.tight)
+                and self.solver_opts.verbose):
             kind = ("ROF" if self.rof
-                    else "multilabel" if self.ml else "deblur")
+                    else "multilabel" if self.ml
+                    else "deblur" if self.deblur else "tight-multilabel")
             print(f"FusedROFPDHG: using fused Pallas iteration ({kind}).")
 
     def run(self, state: PDHGState, until_iter: int) -> PDHGState:
@@ -499,12 +506,25 @@ class FusedROFPDHG(BackendPDHG):
                     jnp.asarray(d["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
                 )
+            if self.tight is not None:
+                from .fused_tight import _fused_tight_run
+
+                t = self.tight
+                return _fused_tight_run(
+                    self.problem, self.prox_g, self.prox_fstar, self.opts,
+                    t["nx"], t["ny"], t["L"], t["k"],
+                    (t["taps"], t["consts"]), self.interpret,
+                    tols, t["f"],
+                    (jnp.asarray(t["radius"], jnp.float32),
+                     jnp.asarray(t["d_s"], jnp.float32)),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
         except jax.errors.JaxRuntimeError as e:
             # fits_vmem is an estimate; if the Mosaic compile rejects the
             # whole-plane kernel (VMEM/SMEM capacity) fall back to the
             # generic path permanently.  The compile fails before any
             # donated buffer is consumed, so re-running is safe.
-            self.rof = self.ml = self.deblur = None
+            self.rof = self.ml = self.deblur = self.tight = None
             if self.solver_opts.verbose:
                 print(f"FusedROFPDHG: kernel compile failed ({e});"
                       " falling back to the generic path.")

@@ -1,0 +1,414 @@
+"""Fused Pallas PDHG iteration for the TIGHT multilabel TV relaxation.
+
+Workload (example_multilabel_tight.m / examples/example_multilabel_tight.py):
+on top of the fast relaxation, pairwise Lagrange multipliers v couple the
+gradient dual q through per-pixel pairwise difference constraints:
+
+    primal x = [u (L label planes) ; v (2k pairwise planes, k = L(L-1)/2)]
+    dual   y = [q (2L gradient planes, FREE — no prox) ;
+                p (2k planes, per-pixel dim-2 lmb-ball) ;
+                s (sum-to-one multiplier plane)]
+
+    K = [ grad2d (2nL x nL)        kron(P^T, I_n) (2nL x 2nk) ]
+        [ 0                        I (2nk x 2nk)              ]
+        [ kron(1_L^T, I_n) (n x nL)   0                       ]
+
+P has +-1 entries (two per row), so kron(P^T, I_n) unrolls to signed
+plane-adds over the label/pair axis — like the blur taps of
+ops/fused_deblur.py, the coupling costs O(nnz(P)) VPU passes over
+VMEM-resident planes and no matrix traffic.  All preconditioner segments
+are constant (row sums: gradient 2 + pair-degree L-1; identity 1; label
+sum L / col sums: 4+1 for u, 1+2 for v), read from the problem at match
+time.  Everything else mirrors ops/fused_multilabel.py: ONE kernel per
+residual_iter chunk, forward products (G u + Kp v, sum_l u) loop-carried,
+residual norms reduced in-kernel, scalar adaptation via the generic
+``residual_and_adapt``.
+
+Layout contract: u (L, nx, ny); v and p (2k, nx, ny) with pair planes
+[x-parts (k) ; y-parts (k)] (the dim-2 planar ball pairs plane m with
+plane m+k); q (2L, nx, ny) = [gx; gy]; s (nx, ny).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..backend.pdhg import PDHGState, pdhg_step, residual_and_adapt
+from ..linop.base import LinearOperator
+from ..linop.blocks import BlockDiags, BlockKronId
+from ..linop.gradient import BlockGradient2D
+from ..prox.elemop import ProxElem1D, ProxElemNorm2
+from ..prox.standalone import ProxZero
+from .fused_multilabel import _shift_ops_3d
+
+_VMEM_LIMIT = 96 * 1024 * 1024
+_MAX_TAPS = 512  # statically unrolled +-1 adds per kron(P^T, I) apply
+
+
+def _kron_ops(taps, nrows_out, ncols_out):
+    """kron(P^T, I_n) as unrolled signed plane adds.  ``taps`` is the
+    static tuple of (row, col, weight) nonzeros of the (2L, 2k) matrix
+    P^T; fwd maps (2k, nx, ny) -> (2L, nx, ny), adj the reverse."""
+
+    def fwd(v):
+        acc = [None] * nrows_out
+        for r, m, w in taps:
+            term = w * v[m]
+            acc[r] = term if acc[r] is None else acc[r] + term
+        zero = jnp.zeros_like(v[0])
+        return jnp.stack([a if a is not None else zero for a in acc])
+
+    def adj(q):
+        acc = [None] * ncols_out
+        for r, m, w in taps:
+            term = w * q[r]
+            acc[m] = term if acc[m] is None else acc[m] + term
+        zero = jnp.zeros_like(q[0])
+        return jnp.stack([a if a is not None else zero for a in acc])
+
+    return fwd, adj
+
+
+def _chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, v0, q0, p0, s0,
+                f, count, L, k, taps, consts, roll):
+    """``count - 1`` plain iterations then the aligned iteration with its
+    four preconditioned residual norms (squared).  ``consts`` =
+    (sig_q, sig_p, sig_s, tau_u, tau_v) — the constant per-segment
+    preconditioner diagonals."""
+    sig_q_c, sig_p_c, sig_s_c, tau_u_c, tau_v_c = consts
+    ops = _shift_ops_3d(f.shape, roll)
+    _dx, _dy, _dxt, _dyt = ops
+    kp_fwd, kp_adj = _kron_ops(taps, 2 * L, 2 * k)
+
+    tu = tau_raw * tau_u_c
+    tv = tau_raw * tau_v_c
+    sq = sigma_raw * sig_q_c
+    sp = sigma_raw * sig_p_c
+    ss = sigma_raw * sig_s_c
+    tf = tu * f
+
+    def update(u, v, q, p, s, kxq, su):
+        """One iteration; (kxq, su) = (q-row, s-row) forward products of
+        the current primal, carried between iterations."""
+        ktyu = _dxt(q[:L]) + _dyt(q[L:]) + s[None]
+        ktyv = kp_adj(q) + p
+        u2 = jnp.maximum(u - tu * ktyu - tf, 0.0)
+        v2 = v - tv * ktyv
+
+        gu2 = jnp.concatenate([_dx(u2), _dy(u2)])
+        su2 = jnp.sum(u2, axis=0)
+        kxq2 = gu2 + kp_fwd(v2)
+
+        q2 = q + sq * ((1.0 + theta) * kxq2 - theta * kxq)  # free dual
+        ap = p + sp * ((1.0 + theta) * v2 - theta * v)
+        nrm2 = ap[:k] ** 2 + ap[k:] ** 2
+        scale = jnp.minimum(1.0, radius * lax.rsqrt(nrm2))
+        p2 = jnp.concatenate([ap[:k] * scale, ap[k:] * scale])
+        s2 = s + ss * ((1.0 + theta) * su2 - theta * su) - ss * d_s
+        return u2, v2, q2, p2, s2, kxq2, su2, ktyu, ktyv
+
+    def body(_, carry):
+        u, v, q, p, s, kxq, su = carry
+        u, v, q, p, s, kxq, su, _, _ = update(u, v, q, p, s, kxq, su)
+        return u, v, q, p, s, kxq, su
+
+    kxq0 = jnp.concatenate([_dx(u0), _dy(u0)]) + kp_fwd(v0)
+    u, v, q, p, s, kxqp, sup = lax.fori_loop(
+        0, count - 1, body,
+        (u0, v0, q0, p0, s0, kxq0, jnp.sum(u0, axis=0)))
+
+    # aligned iteration; (kxqp, sup) = K x_prev products carried for free
+    u2, v2, q2, p2, s2, kxq2, su2, ktyu_p, ktyv_p = update(
+        u, v, q, p, s, kxqp, sup)
+    ktyu2 = _dxt(q2[:L]) + _dyt(q2[L:]) + s2[None]
+    ktyv2 = kp_adj(q2) + p2
+
+    # preconditioned residuals, segment-wise constants
+    sqrt_sq, sqrt_sp, sqrt_ss = sig_q_c**0.5, sig_p_c**0.5, sig_s_c**0.5
+    sqrt_tu, sqrt_tv = tau_u_c**0.5, tau_v_c**0.5
+    zh_q = (q - q2) / (sigma_raw * sqrt_sq) + sqrt_sq * (
+        (1.0 + theta) * kxq2 - theta * kxqp)
+    zh_p = (p - p2) / (sigma_raw * sqrt_sp) + sqrt_sp * (
+        (1.0 + theta) * v2 - theta * v)
+    zh_s = (s - s2) / (sigma_raw * sqrt_ss) + sqrt_ss * (
+        (1.0 + theta) * su2 - theta * sup)
+    pd_q = zh_q - sqrt_sq * kxq2
+    pd_p = zh_p - sqrt_sp * v2
+    pd_s = zh_s - sqrt_ss * su2
+    wh_u = (u - u2) / (tau_raw * sqrt_tu) - sqrt_tu * ktyu_p
+    wh_v = (v - v2) / (tau_raw * sqrt_tv) - sqrt_tv * ktyv_p
+    dd_u = wh_u + sqrt_tu * ktyu2
+    dd_v = wh_v + sqrt_tv * ktyv2
+
+    norms = (
+        jnp.sum(pd_q * pd_q) + jnp.sum(pd_p * pd_p) + jnp.sum(pd_s * pd_s),
+        jnp.sum(zh_q * zh_q) + jnp.sum(zh_p * zh_p) + jnp.sum(zh_s * zh_s),
+        jnp.sum(dd_u * dd_u) + jnp.sum(dd_v * dd_v),
+        jnp.sum(wh_u * wh_u) + jnp.sum(wh_v * wh_v),
+    )
+    return (u2, v2, q2, p2, s2), (u, v, q, p, s), norms
+
+
+def _tight_chunk_kernel(scal_ref, u_ref, v_ref, q_ref, p_ref, s_ref, f_ref,
+                        uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,
+                        norms_ref, *, count, L, k, taps, consts):
+    """One residual_iter-sized chunk in ONE kernel, residual norms reduced
+    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, radius, d_s]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    new, prev, norms = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        u_ref[...], v_ref[...], q_ref[...], p_ref[...], s_ref[...],
+        f_ref[...], count, L, k, taps, consts, pltpu.roll)
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    for ref, val in zip((uo, vo, qo, po, so), new):
+        ref[...] = val
+    for ref, val in zip((upo, vpo, qpo, ppo, spo), prev):
+        ref[...] = val
+
+
+def tight_fused_chunk(u, v, q, p, s, f, tau, sigma, theta, radius, d_s,
+                      count, taps, consts, interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration.  Returns
+    (new_state_tuple, prev_state_tuple, norms2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = u.shape[0]
+    k = v.shape[0] // 2
+    scal = jnp.stack([
+        jnp.asarray(tau, u.dtype), jnp.asarray(sigma, u.dtype),
+        jnp.asarray(theta, u.dtype),
+        jnp.asarray(radius, u.dtype), jnp.asarray(d_s, u.dtype),
+    ])
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    state = (u, v, q, p, s)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in state + state]
+    out_shape.append(jax.ShapeDtypeStruct((4,), u.dtype))
+    outs = pl.pallas_call(
+        partial(_tight_chunk_kernel, count=int(count), L=L, k=k,
+                taps=taps, consts=consts),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 6,
+        out_specs=[plane] * 10 + [smem],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, v, q, p, s, f)
+    return outs[:5], outs[5:10], outs[10]
+
+
+def tight_fits_vmem(nx, ny, L, k, itemsize: int = 4) -> bool:
+    """~(10L + 14k + 8) live planes must fit in the raised VMEM limit."""
+    return (10 * L + 14 * k + 8) * nx * ny * itemsize <= _VMEM_LIMIT
+
+
+def _segment_const(arr):
+    """The constant value of a preconditioner segment, or None."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    return float(a[0]) if a.size and np.allclose(a, a[0]) else None
+
+
+def match_tight_structure(problem):
+    """Detect the fusable tight-multilabel structure; returns a dict or
+    None.  Conditions (built by examples/example_multilabel_tight.py):
+
+    * linop = [grad2d(L) at (0,0); kron(P^T, I_n) at (0, nL) with +-1
+      entries; identity diags at (2nL, nL); kron(ones(1,L), I_n) at
+      (2nL+2nk, 0)]
+    * prox_g = ind_geq0 with linear unaries over u + zero over v
+    * prox_fstar = zero over q + dim-2 planar ball over p + linear shift
+      over s
+    * all preconditioner segments constant
+    """
+    import numpy as np
+
+    from ..config import dtype
+
+    if dtype() != jnp.float32:
+        return None
+    linop = problem.linop
+    if not isinstance(linop, LinearOperator) or len(linop.blocks) != 4:
+        return None
+    grad = next((b for b in linop.blocks
+                 if isinstance(b, BlockGradient2D)), None)
+    ident = next((b for b in linop.blocks if isinstance(b, BlockDiags)), None)
+    krons = [b for b in linop.blocks if isinstance(b, BlockKronId)]
+    if grad is None or ident is None or len(krons) != 2:
+        return None
+    if grad.label_first or grad.row != 0 or grad.col != 0 or grad.L < 2:
+        return None
+    L, nx, ny = grad.L, grad.nx, grad.ny
+    n = nx * ny
+    nL = n * L
+
+    pair = next((b for b in krons if b.col == nL), None)
+    lsum = next((b for b in krons if b.col == 0), None)
+    if pair is None or lsum is None:
+        return None
+    pmat = np.asarray(pair.data)
+    if pmat.shape[0] != 2 * L or pmat.shape[1] % 2 or pair.row != 0:
+        return None
+    k = pmat.shape[1] // 2
+    if pair.diaglength != n:
+        return None
+    taps = tuple(
+        (int(r), int(m), float(pmat[r, m]))
+        for r in range(2 * L) for m in range(2 * k) if pmat[r, m] != 0.0
+    )
+    if not taps or len(taps) > _MAX_TAPS:
+        return None
+    m_sum = np.asarray(lsum.data)
+    if (lsum.row != 2 * nL + 2 * n * k or lsum.diaglength != n
+            or m_sum.shape != (1, L) or not np.all(m_sum == 1.0)):
+        return None
+    if (ident.row != 2 * nL or ident.col != nL
+            or ident.nrows != 2 * n * k or ident.ncols != 2 * n * k):
+        return None
+    if (ident.offsets != (0,)
+            or not np.allclose(np.asarray(ident.factors), 1.0)):
+        return None
+
+    # --- primal proxes: positivity+unaries over u, zero over v -------------
+    if len(problem.prox_g) != 2 or len(problem.prox_fstar) != 3:
+        return None
+    pg_u = next((p for p in problem.prox_g if p.index == 0), None)
+    pg_v = next((p for p in problem.prox_g if p.index == nL), None)
+    if not isinstance(pg_u, ProxElem1D) or pg_u.fun != "ind_geq0":
+        return None
+    if pg_u.size != nL or not isinstance(pg_v, ProxZero):
+        return None
+    a, b, c, d, e, _, _ = pg_u.coeffs
+    if not (np.isscalar(a) and a == 1.0 and np.isscalar(b) and b == 0.0):
+        return None
+    if not (np.isscalar(c) and c > 0.0) or not (np.isscalar(e) and e == 0.0):
+        return None
+    f = jnp.asarray(
+        np.broadcast_to(np.asarray(d, np.float32), (nL,))
+    ).reshape(L, nx, ny)
+
+    # --- dual proxes: free q, dim-2 ball on p, linear shift on s -----------
+    pf_q = next((p for p in problem.prox_fstar if p.index == 0), None)
+    pf_p = next((p for p in problem.prox_fstar if p.index == 2 * nL), None)
+    pf_s = next((p for p in problem.prox_fstar
+                 if p.index == 2 * nL + 2 * n * k), None)
+    if not isinstance(pf_q, ProxZero) or pf_q.size != 2 * nL:
+        return None
+    if (not isinstance(pf_p, ProxElemNorm2) or pf_p.fun != "ind_leq0"
+            or pf_p.size != 2 * n * k or pf_p.dim != 2 or pf_p.interleaved):
+        return None
+    ia, ib, ic, idd, ie, _, _ = pf_p.coeffs
+    for val in (ia, ib, ic):
+        if not np.isscalar(val):
+            return None
+    if idd != 0.0 or ie != 0.0 or ia <= 0:
+        return None
+    radius = float(ib) / float(ia)
+    if not isinstance(pf_s, ProxElem1D) or pf_s.fun != "zero":
+        return None
+    sa, sb, sc, sd, se, _, _ = pf_s.coeffs
+    if not (np.isscalar(sd) and np.isscalar(se) and se == 0.0):
+        return None
+    d_s = float(sd)
+
+    # --- constant per-segment preconditioner --------------------------------
+    sl = np.asarray(problem.scaling_left)
+    sr = np.asarray(problem.scaling_right)
+    consts = (
+        _segment_const(sl[: 2 * nL]),
+        _segment_const(sl[2 * nL: 2 * nL + 2 * n * k]),
+        _segment_const(sl[2 * nL + 2 * n * k:]),
+        _segment_const(sr[:nL]),
+        _segment_const(sr[nL:]),
+    )
+    if any(c is None for c in consts):
+        return None
+    if not tight_fits_vmem(nx, ny, L, k):
+        return None
+    return {
+        "nx": nx, "ny": ny, "L": L, "k": k, "taps": taps, "f": f,
+        "radius": radius, "d_s": d_s, "consts": consts,
+    }
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(13,))
+def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
+                     taps_consts, interpret,
+                     tols, f_planes, scal_extra, state, until):
+    """Phase structure identical to fused_rof._fused_rof_run: align ->
+    single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
+    generic tail.  taps_consts = (taps, consts) static;
+    scal_extra = (radius, d_s) traced."""
+    taps, consts = taps_consts
+    radius, d_s = scal_extra
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    nL = n * L
+    nk2 = 2 * n * k
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(st: PDHGState) -> PDHGState:
+        u = st.x[:nL].reshape(L, nx, ny)
+        v = st.x[nL:].reshape(2 * k, nx, ny)
+        q = st.y[: 2 * nL].reshape(2 * L, nx, ny)
+        p = st.y[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny)
+        sm = st.y[2 * nL + nk2:].reshape(nx, ny)
+        new, prev, norms2 = tight_fused_chunk(
+            u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
+            radius, d_s, ri, taps, consts, interpret=interpret)
+        norms = jnp.sqrt(norms2)
+
+        def pack(t):
+            uu, vv, qq, pp, ss = t
+            return (
+                jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
+                jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
+                                 ss.reshape(-1)]),
+            )
+
+        x_new, y_new = pack(new)
+        xp_new, yp_new = pack(prev)
+        st = dataclasses.replace(
+            st, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+        st = residual_and_adapt(
+            problem, opts, tols, st,
+            norms[0], norms[1], norms[2], norms[3],
+            st.iteration + ri - 1,
+        )
+        return dataclasses.replace(st, iteration=st.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)
