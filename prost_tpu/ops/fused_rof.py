@@ -66,14 +66,27 @@ _SQRT_S = 0.7071067811865476  # sqrt(Sigma) = sqrt(1/2)
 _SQRT_T = 0.5                 # sqrt(Tau)   = sqrt(1/4)
 
 
-def _shift_ops(shape, roll):
+def _shift_ops(shape, roll, row_offset=None, nx_global=None):
     """Forward-difference / adjoint stencils via native roll + iota masks
     (cheaper for Mosaic than concatenate-built shifts).  ``roll(a, shift,
-    axis)`` is pltpu.roll inside the kernel, jnp.roll in plain-XLA use."""
+    axis)`` is pltpu.roll inside the kernel, jnp.roll in plain-XLA use.
+
+    With (row_offset, nx_global) the row masks use GLOBAL row indices
+    (local iota + row_offset): this makes the stencils correct on a
+    halo-extended shard of a row-partitioned plane — the Neumann boundary
+    applies at global rows 0 / nx_global-1, not at the shard edges
+    (parallel/spatial_fused.py).  Rolls stay local; the wrap rows they
+    bring in only touch halo rows, never owned rows.
+    """
     ri = lax.broadcasted_iota(jnp.int32, shape, 0)
     ci = lax.broadcasted_iota(jnp.int32, shape, 1)
-    not_last_r = ri < (shape[0] - 1)
-    not_first_r = ri > 0
+    if row_offset is not None:
+        gri = ri + row_offset
+        not_last_r = gri < (nx_global - 1)
+        not_first_r = gri > 0
+    else:
+        not_last_r = ri < (shape[0] - 1)
+        not_first_r = ri > 0
     not_last_c = ci < (shape[1] - 1)
     not_first_c = ci > 0
 
@@ -143,11 +156,16 @@ def _rof_update(x, qx, qy, gx, gy, dt0, dt1, tau, sig_p, sig_t, radius, ops,
 
 
 def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
-                count: int, dataterm: str):
+                count: int, dataterm: str, halo_ctx=None):
     """The math of one residual_iter-sized chunk on VMEM-resident planes:
     ``count - 1`` plain iterations, then the aligned iteration with its
     four preconditioned residual norms (squared).  Shared by the
-    single-instance and batched (gridded) kernels.
+    single-instance, batched (gridded), and halo-sharded kernels.
+
+    halo_ctx = (row_offset, nx_global, own_lo, own_hi) runs the chunk on a
+    halo-extended shard: stencil masks use global rows, and the norms are
+    restricted to the shard's owned local rows [own_lo, own_hi) so a
+    cross-shard psum reproduces the global norms exactly.
 
     Returns (x2, qx2, qy2, x_prev, qx_prev, qy_prev, (n0, n1, n2, n3)).
     """
@@ -159,7 +177,17 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
     sig_t = sigma_p * theta
     w = w if dataterm == "wsquare" else None
     dt0, dt1 = _hoist_dataterm(f, w, tau, lmb, dataterm)
-    ops = _shift_ops(f.shape, pltpu.roll)
+    if halo_ctx is not None:
+        row_offset, nx_global, own_lo, own_hi = halo_ctx
+        ops = _shift_ops(f.shape, pltpu.roll, row_offset, nx_global)
+        lri = lax.broadcasted_iota(jnp.int32, f.shape, 0)
+        owned = (lri >= own_lo) & (lri < own_hi)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+    else:
+        ops = _shift_ops(f.shape, pltpu.roll)
+        nsum = jnp.sum
     _dx, _dy = ops[0], ops[1]
 
     def body(_, carry):
@@ -187,10 +215,10 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
     dd = wh + _SQRT_T * kty2
 
     norms = (
-        jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y),
-        jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y),
-        jnp.sum(dd * dd),
-        jnp.sum(wh * wh),
+        nsum(pd_x * pd_x) + nsum(pd_y * pd_y),
+        nsum(zh_x * zh_x) + nsum(zh_y * zh_y),
+        nsum(dd * dd),
+        nsum(wh * wh),
     )
     return x2, qx2, qy2, x, qx, qy, norms
 
@@ -246,6 +274,62 @@ def _rof_chunk_kernel_batched(scal_ref, x_ref, q_ref, f_ref, w_ref,
     qpo_ref[0, 0] = qxp
     qpo_ref[0, 1] = qyp
 
+
+
+def _rof_chunk_kernel_halo(scal_ref, x_ref, q_ref, f_ref, w_ref,
+                           xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref, *,
+                           count: int, nx_global: int, dataterm: str):
+    """Halo-sharded chunk: the refs are one shard's halo-EXTENDED planes;
+    stencil masks use global rows and the SMEM norms cover only the owned
+    rows (summed across shards by the caller's psum).
+
+    scal_ref (SMEM): [tau, sigma, theta, lmb, radius, row_offset, own_lo,
+    own_hi] — the last three are per-shard integers (as floats).
+    """
+    q = q_ref[...]
+    halo_ctx = (scal_ref[5].astype(jnp.int32), nx_global,
+                scal_ref[6].astype(jnp.int32), scal_ref[7].astype(jnp.int32))
+    x2, qx2, qy2, xp, qxp, qyp, norms = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        x_ref[...], q[0], q[1], f_ref[...], w_ref[...], count, dataterm,
+        halo_ctx=halo_ctx)
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    xo_ref[...] = x2
+    qo_ref[0] = qx2
+    qo_ref[1] = qy2
+    xpo_ref[...] = xp
+    qpo_ref[0] = qxp
+    qpo_ref[1] = qyp
+
+
+def rof_fused_chunk_halo(x, q, f, w, scal, count, nx_global,
+                         dataterm: str = "square", interpret: bool = False):
+    """``count`` fused iterations on one halo-extended shard.  x/f/w are
+    (nxb, ny) local blocks, q is (2, nxb, ny); scal is the length-8 vector
+    [tau, sigma, theta, lmb, radius, row_offset, own_lo, own_hi].  Returns
+    (x2, q2, x_prev, q_prev, norms2) with norms2 covering owned rows only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x2
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q2
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x_prev
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q_prev
+        jax.ShapeDtypeStruct((4,), x.dtype),      # norms^2 (owned rows)
+    ]
+    out_specs = _plane_specs(4) + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    return pl.pallas_call(
+        partial(_rof_chunk_kernel_halo, count=int(count),
+                nx_global=int(nx_global), dataterm=dataterm),
+        out_shape=out_shape,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + _plane_specs(4),
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, x, q, f, w)
 
 
 def _plane_specs(n):

@@ -13,10 +13,16 @@ package is the TPU-native capability it lacks:
   mesh: state vectors get named shardings and XLA's SPMD partitioner
   inserts the halo exchanges (gradient stencils) and psums (residual norms)
   — the "annotate shardings, let the compiler place collectives" recipe.
+* ``spatial_fused`` — the hand-scheduled version for matched ROF/TV
+  structures: the fused Pallas chunk kernel under shard_map with explicit
+  ppermute halo exchange (one 2-hop exchange per residual_iter chunk
+  instead of per-iteration collectives) and psum'd in-kernel norms.
 """
 
 from .ensemble import BatchedPDHG, stack_problems
 from .mesh import make_mesh
 from .spatial import ShardedPDHG
+from .spatial_fused import ShardedFusedROF
 
-__all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG"]
+__all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG",
+           "ShardedFusedROF"]
