@@ -299,13 +299,29 @@ register_prox(
         coeffs=_dec_coeffs(data["coeffs"])),
 )
 register_prox(
+    # reference alias: eigen_3x3 is the NxN spectral prox at n = 3
+    # (factory.cpp registers elem_operation:eigen_3x3:<fun> separately;
+    # here batched eigh covers all n — COVERAGE.md section 2.3)
+    "elem_operation:eigen_3x3", ProxElemEigenNxN,
+    lambda p: {"count": p.count, "n": p.n, "interleaved": p.interleaved,
+               "coeffs": _enc_coeffs(p.coeffs)},
+    lambda idx, size, data, name: ProxElemEigenNxN(
+        index=idx, size=size, count=data["count"], n=3,
+        interleaved=data["interleaved"], fun=name.split(":")[2],
+        coeffs=_dec_coeffs(data["coeffs"])),
+)
+register_prox(
     "elem_operation", ProxElemMassNorm,  # mass4/5, ind_comass{4,5}_ball
     lambda p: {"count": p.count, "n": p.n, "interleaved": p.interleaved,
                "conjugate": p.conjugate, "cost": p.cost},
+    # n / conjugate are inferable from the reference kind name
+    # (elem_operation:mass4, elem_operation:ind_comass5_ball, ...)
     lambda idx, size, data, name: ProxElemMassNorm(
-        index=idx, size=size, count=data["count"], n=data["n"],
-        interleaved=data["interleaved"], conjugate=data["conjugate"],
-        cost=data["cost"]),
+        index=idx, size=size, count=data["count"],
+        n=data.get("n", 5 if "5" in name else 4),
+        interleaved=data.get("interleaved", False),
+        conjugate=data.get("conjugate", "comass" in name),
+        cost=data.get("cost", 1.0)),
 )
 register_prox(
     "ind_soc", ProxIndSOC,
