@@ -70,6 +70,12 @@ class ADMMOptions:
     cg_tol_pow: float = 1.3
     cg_tol_min: float = 1e-5
     cg_tol_max: float = 1e-8
+    # "cgls" = the reference's warm-started approximate projection;
+    # "dct"  = EXACT graph projection for lone-gradient2d problems with
+    # constant preconditioner: (I + c^2 G^T G) u = rhs is a screened
+    # Neumann-Laplacian solve, diagonalized by DCT-II (no reference
+    # analog — a TPU-native direct O(n log n) alternative to the CG loop)
+    projection: str = "cgls"
 
 
 @pytree_dataclass
@@ -122,6 +128,18 @@ class BackendADMM:
         else:
             raise ProstError("Neither prox_f nor prox_fstar specified.")
 
+        if opts.projection == "dct":
+            self.dct_plan = dct_projection_plan(problem)
+            if self.dct_plan is None:
+                raise ProstError(
+                    "ADMMOptions(projection='dct') requires a lone "
+                    "gradient2d operator with constant preconditioner."
+                )
+        elif opts.projection == "cgls":
+            self.dct_plan = None
+        else:
+            raise ProstError(f"Unknown projection '{opts.projection}'.")
+
     # ------------------------------------------------------------------
     def initial_state(self) -> ADMMState:
         p = self.problem
@@ -163,6 +181,7 @@ class BackendADMM:
             self.prox_g,
             self.prox_f,
             self.opts,
+            self.dct_plan,
             (sopts.tol_rel_primal, sopts.tol_rel_dual,
              sopts.tol_abs_primal, sopts.tol_abs_dual),
             state,
@@ -179,6 +198,53 @@ class BackendADMM:
         w = -s.rho / p.scaling_right * (s.x_half - s.x_proj + s.x_dual)
         y = -s.rho * p.scaling_left * (s.z_half - s.z_proj + s.z_dual)
         return s.x_half, s.z_half, y, w
+
+
+def dct_projection_plan(problem):
+    """Exact graph-projection plan for a lone BlockGradient2D with constant
+    diagonal preconditioner: returns the static tuple (L, nx, ny, c2) with
+    c2 = Sigma*Tau — K~^T K~ = c2 * G^T G is a scaled Neumann Laplacian,
+    diagonalized by DCT-II — or None when the structure does not apply.
+    Must run on a CONCRETE problem (reads the preconditioner values), i.e.
+    at backend-construction time, not under jit."""
+    import numpy as np
+
+    from ..linop.gradient import BlockGradient2D
+
+    blocks = getattr(problem.linop, "blocks", ())
+    if len(blocks) != 1 or not isinstance(blocks[0], BlockGradient2D):
+        return None
+    b = blocks[0]
+    if b.label_first:
+        return None
+    sl = np.asarray(problem.scaling_left)
+    sr = np.asarray(problem.scaling_right)
+    if not (np.allclose(sl, sl[0]) and np.allclose(sr, sr[0])):
+        return None
+    c2 = float(sl[0]) * float(sr[0])
+    return b.L, b.nx, b.ny, c2
+
+
+def _dct_denom(plan, dtype):
+    """denom[i, j] = 1 + c2*(lam_x[i] + lam_y[j]), the DCT-II eigenvalues
+    of I + K~^T K~.  ``plan`` is static, so this folds to a constant."""
+    import numpy as np
+
+    _, nx, ny, c2 = plan
+    lam_x = 4.0 * np.sin(np.pi * np.arange(nx) / (2 * nx)) ** 2
+    lam_y = 4.0 * np.sin(np.pi * np.arange(ny) / (2 * ny)) ** 2
+    return jnp.asarray(1.0 + c2 * (lam_x[:, None] + lam_y[None, :]), dtype)
+
+
+def _dct_project(plan, rhs):
+    """Solve (I + K~^T K~) u = rhs exactly in DCT space."""
+    from jax.scipy.fft import dctn, idctn
+
+    L, nx, ny, _ = plan
+    U = rhs.reshape(L, nx, ny)
+    spec = dctn(U, type=2, norm="ortho", axes=(1, 2))
+    return idctn(spec / _dct_denom(plan, rhs.dtype)[None], type=2,
+                 norm="ortho", axes=(1, 2)).reshape(-1)
 
 
 def admm_residual_adapt(problem, opts: ADMMOptions, tols, q: ADMMState,
@@ -213,7 +279,8 @@ def admm_residual_adapt(problem, opts: ADMMOptions, tols, q: ADMMState,
     )
 
 
-def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState):
+def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState,
+              dct_plan=None):
     """One graph-projection ADMM iteration as a pure function."""
     Sigma = problem.scaling_left
     Tau = problem.scaling_right
@@ -231,15 +298,23 @@ def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState):
     t1 = (opts.alpha * s.x_half + (1.0 - opts.alpha) * s.x_proj + s.x_dual) / sqrt_T
     t2 = sqrt_S * (s.z_half + s.z_dual)
 
-    # graph projection by CGLS on min ||K~ u - d||^2 + ||u||^2
+    # graph projection: min ||K~ u - d||^2 + ||u||^2
     d = t2 - k_tilde(t1)
-    it_f = (s.iteration + 1).astype(t1.dtype)
-    cg_tol = jnp.maximum(
-        opts.cg_tol_min / jnp.power(it_f, opts.cg_tol_pow), opts.cg_tol_max
-    )
-    u, _ = cgls_solve(
-        k_tilde, k_tilde_adj, d, s.cg_warm, 1.0, cg_tol, opts.cg_max_iter
-    )
+    if opts.projection == "dct":
+        # exact solve of the normal equations in DCT space; the static
+        # plan was validated at backend construction (BackendADMM.__init__)
+        u = _dct_project(dct_plan, k_tilde_adj(d))
+    else:
+        # the reference's warm-started CGLS with its tolerance schedule
+        it_f = (s.iteration + 1).astype(t1.dtype)
+        cg_tol = jnp.maximum(
+            opts.cg_tol_min / jnp.power(it_f, opts.cg_tol_pow),
+            opts.cg_tol_max,
+        )
+        u, _ = cgls_solve(
+            k_tilde, k_tilde_adj, d, s.cg_warm, 1.0, cg_tol,
+            opts.cg_max_iter,
+        )
 
     x_proj = sqrt_T * (u + t1)
     z_proj = K.apply(x_proj)
@@ -274,10 +349,12 @@ def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState):
     return lax.cond(do_res, compute_residuals, lambda q: q, s)
 
 
-@partial(jax.jit, static_argnums=(3,), donate_argnums=(5,))
-def _admm_run(problem, prox_g, prox_f, opts: ADMMOptions, tols, state, until):
+@partial(jax.jit, static_argnums=(3, 4), donate_argnums=(6,))
+def _admm_run(problem, prox_g, prox_f, opts: ADMMOptions, dct_plan, tols,
+              state, until):
     def body(s: ADMMState) -> ADMMState:
-        return admm_step(problem, prox_g, prox_f, opts, tols, s)
+        return admm_step(problem, prox_g, prox_f, opts, tols, s,
+                         dct_plan=dct_plan)
 
     def cond(s: ADMMState):
         return (s.iteration < until) & ~s.converged

@@ -262,6 +262,9 @@ class FusedROFADMM(BackendADMM):
         super().__init__(problem, opts, solver_opts)
         self.interpret = interpret
         usable = (jax.default_backend() != "cpu") or interpret
+        # projection="dct" runs the exact-DCT generic path (admm.py), not
+        # the in-kernel CGLS
+        usable = usable and opts.projection == "cgls"
         self.rof = match_rof_structure(problem) if usable else None
         if self.rof is not None and self.solver_opts.verbose:
             print("FusedROFADMM: using fused Pallas iteration.")
