@@ -22,6 +22,7 @@ from ..prox import (
     ProxElemMassNorm,
     ProxElemNorm2,
     ProxElemSingularNx2,
+    ProxIndEpiPolyhedral,
     ProxIndEpiQuad,
     ProxIndHalfspace,
     ProxIndRange,
@@ -166,6 +167,54 @@ def sum_ind_epi_quad(dim, interleaved, a, b, c):
             b=jnp.asarray(np.asarray(b).reshape(-1), dt),
             c=jnp.asarray(np.asarray(c).reshape(-1), dt),
         )
+    return make
+
+
+def sum_ind_epi_polyhedral(dim, interleaved, coeff_a, coeff_b,
+                           count_vec, index_vec, sweeps=400):
+    """Projection onto the epigraph of the max-of-affine function
+    f(x) = max_i(<a_i, x> - b_i) per dim-vector (dim = d + 1).
+
+    Signature and coefficient layout follow the reference's *test*
+    (test_prox_sum_ind_epi_polyhedral.m:27-30 — the prox itself is absent
+    from its factory): coeff_a holds, per point, count_vec[p] rows of d
+    contiguous coefficients; coeff_b the offsets; index_vec[p] is the
+    row offset of point p into both (in units of rows).
+    """
+    if interleaved:
+        raise ProstError(
+            "sum_ind_epi_polyhedral: only planar layout supported.")
+
+    d = dim - 1
+    coeff_a = np.asarray(coeff_a, dtype=np.float64).reshape(-1)
+    coeff_b = np.asarray(coeff_b, dtype=np.float64).reshape(-1)
+    count_vec = np.asarray(count_vec, dtype=np.int64).reshape(-1)
+    index_vec = np.asarray(index_vec, dtype=np.int64).reshape(-1)
+
+    def make(idx, count):
+        if count % dim:
+            raise ProstError(
+                "sum_ind_epi_polyhedral: count not divisible by dim.")
+        n_pts = count // dim
+        if count_vec.size != n_pts or index_vec.size != n_pts:
+            raise ProstError(
+                "sum_ind_epi_polyhedral: count_vec/index_vec must have one "
+                f"entry per point ({n_pts}).")
+        m_max = int(count_vec.max())
+        a = np.zeros((m_max, d, n_pts))
+        b = np.zeros((m_max, n_pts))
+        mask = np.zeros((m_max, n_pts))
+        for p in range(n_pts):
+            m_p, off = int(count_vec[p]), int(index_vec[p])
+            a[:m_p, :, p] = coeff_a[off * d:(off + m_p) * d].reshape(m_p, d)
+            b[:m_p, p] = coeff_b[off:off + m_p]
+            mask[:m_p, p] = 1.0
+        from ..config import dtype
+        dt = dtype()
+        return ProxIndEpiPolyhedral.create(
+            index=idx, size=count, count=n_pts, dim=dim,
+            a=a.astype(dt), b=b.astype(dt), mask=mask.astype(dt),
+            sweeps=sweeps)
     return make
 
 

@@ -46,6 +46,7 @@ from ..prox import (
     ProxElemMassNorm,
     ProxElemNorm2,
     ProxElemSingularNx2,
+    ProxIndEpiPolyhedral,
     ProxIndEpiQuad,
     ProxIndHalfspace,
     ProxIndRange,
@@ -347,6 +348,18 @@ register_prox(
         index=idx, size=size, count=data["count"], dim=data["dim"],
         a=_wire_arr(data["a"]), b=_wire_arr(data["b"]),
         c=_wire_arr(data["c"])),
+)
+register_prox(
+    "ind_epi_polyhedral", ProxIndEpiPolyhedral,
+    lambda p: {"count": p.count, "dim": p.dim, "sweeps": p.sweeps,
+               "a": _enc(np.asarray(p.a)), "b": _enc(np.asarray(p.b)),
+               "mask": _enc(np.asarray(p.mask))},
+    lambda idx, size, data, name: ProxIndEpiPolyhedral.create(
+        index=idx, size=size, count=data["count"], dim=data["dim"],
+        a=_wire_arr(data["a"]).reshape(-1, data["dim"] - 1, data["count"]),
+        b=_wire_arr(data["b"]).reshape(-1, data["count"]),
+        mask=_wire_arr(data["mask"]).reshape(-1, data["count"]),
+        sweeps=data["sweeps"]),
 )
 register_prox(
     "ind_sum", ProxIndSum,

@@ -18,6 +18,7 @@ from .spectral import (
     ProxElemSingularNx2,
 )
 from .standalone import (
+    ProxIndEpiPolyhedral,
     ProxIndEpiQuad,
     ProxIndHalfspace,
     ProxIndRange,
@@ -48,6 +49,7 @@ __all__ = [
     "ProxIndSOC",
     "ProxIndHalfspace",
     "ProxIndEpiQuad",
+    "ProxIndEpiPolyhedral",
     "ProxIndSum",
     "ProxIndRange",
 ]

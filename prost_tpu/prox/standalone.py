@@ -181,6 +181,113 @@ class ProxIndEpiQuad(ProxSeparableSum):
 
 
 @pytree_dataclass
+class ProxIndEpiPolyhedral(ProxSeparableSum):
+    """Projection onto the epigraph of a polyhedral (max-of-affine) function
+
+        f(x) = max_i ( <a_i, x> - b_i ),   i.e. onto {(x, y): A x - y <= b },
+
+    per dim-vector with dim = d + 1 (x planar, then y) — the prox the
+    reference *tests* (matlab/+prost/+test/test_prox_sum_ind_epi_polyhedral.m,
+    quadprog oracle with A = [coeff_a, -1], b = coeff_b) but never ships a
+    kernel for (no factory.cpp registry entry).
+
+    TPU-native solve: the dual of the projection QP is the non-negative QP
+
+        min_{lam >= 0}  1/2 lam^T M lam - lam^T q,
+        M = Atil Atil^T,  q = Atil z0 - b,  Atil = [A, -1],  z0 = (x0, y0),
+
+    recovered by z = z0 - Atil^T lam.  Solved by batched cyclic coordinate
+    descent (exact per-coordinate minimization, Gauss-Seidel), all `count`
+    problems advancing in lockstep on the VPU lane axis; the per-point
+    constraint counts may be ragged — padded rows carry mask 0 and never
+    activate.  A feasible point (all q <= 0) keeps lam = 0, so the
+    projection is the identity there with no special-casing.
+    """
+
+    index: int = static_field()
+    size: int = static_field()
+    count: int = static_field()
+    dim: int = static_field()  # d + 1
+    sweeps: int = static_field(default=400)
+    a: jnp.ndarray = None      # (m, d, count) padded coefficient rows
+    b: jnp.ndarray = None      # (m, count)
+    mask: jnp.ndarray = None   # (m, count) 1.0 = real constraint, 0.0 = pad
+    M: jnp.ndarray = None      # (m, m, count) Gram matrix of [A, -1] rows
+    Mii: jnp.ndarray = None    # (m, count) diag(M), padded entries set to 1
+
+    @staticmethod
+    def create(index, size, count, dim, a, b, mask=None, sweeps=400):
+        """a: (m, d, count) or (m, d) shared; b: (m, count) or (m,)."""
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
+        if a.ndim == 2:
+            a = jnp.broadcast_to(a[:, :, None], a.shape + (count,))
+        if b.ndim == 1:
+            b = jnp.broadcast_to(b[:, None], b.shape + (count,))
+        m = a.shape[0]
+        if mask is None:
+            mask = jnp.ones((m, count), a.dtype)
+        else:
+            mask = jnp.asarray(mask, a.dtype)
+        # Gram of the augmented rows (a_i, -1): M_ij = <a_i, a_j> + 1,
+        # zeroed outside the active block so padded lambdas stay inert.
+        M = jnp.einsum("idc,jdc->ijc", a, a) + 1.0
+        M = M * mask[:, None, :] * mask[None, :, :]
+        eye = jnp.eye(m, dtype=a.dtype)[:, :, None]
+        Mii = jnp.einsum("iic->ic", M)
+        Mii_safe = jnp.where(mask > 0, Mii, 1.0)
+        M = jnp.where((mask[:, None, :] * mask[None, :, :]) > 0, M, eye)
+        return ProxIndEpiPolyhedral(
+            index=index, size=size, count=count, dim=dim, sweeps=sweeps,
+            a=a, b=b, mask=mask, M=M, Mii=Mii_safe,
+        )
+
+    @property
+    def interleaved(self):
+        return False
+
+    @property
+    def diagsteps(self) -> bool:
+        return True  # projection: tau is irrelevant
+
+    def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        from jax import lax
+
+        d = self.dim - 1
+        m = self.a.shape[0]
+        vecs = arg.reshape(self.dim, self.count)
+        x0, y0 = vecs[:d], vecs[d]  # (d, count), (count,)
+
+        # q_i = <a_i, x0> - y0 - b_i, masked so padded rows never activate
+        q = (jnp.einsum("idc,dc->ic", self.a, x0) - y0[None, :] - self.b)
+        q = q * self.mask
+
+        def coord(i, carry):
+            lam, w = carry
+            g = lax.dynamic_slice_in_dim(w, i, 1, 0)[0] - \
+                lax.dynamic_slice_in_dim(q, i, 1, 0)[0]
+            lam_i = lax.dynamic_slice_in_dim(lam, i, 1, 0)[0]
+            mii = lax.dynamic_slice_in_dim(self.Mii, i, 1, 0)[0]
+            new = jnp.maximum(0.0, lam_i - g / mii) \
+                * lax.dynamic_slice_in_dim(self.mask, i, 1, 0)[0]
+            delta = new - lam_i
+            mcol = lax.dynamic_slice_in_dim(self.M, i, 1, 1)[:, 0]  # (m, count)
+            w = w + mcol * delta[None, :]
+            lam = lax.dynamic_update_slice_in_dim(lam, new[None], i, 0)
+            return lam, w
+
+        def sweep(_, carry):
+            return lax.fori_loop(0, m, coord, carry)
+
+        lam0 = jnp.zeros_like(q)
+        lam, _ = lax.fori_loop(0, self.sweeps, sweep, (lam0, lam0))
+
+        x = x0 - jnp.einsum("ic,idc->dc", lam, self.a)
+        y = y0 + jnp.sum(lam, axis=0)
+        return jnp.concatenate([x, y[None, :]]).reshape(self.size)
+
+
+@pytree_dataclass
 class ProxIndSum(Prox):
     """Projection onto {x : sum over index set(s) = fixed total}, identity
     elsewhere, with step-size-weighted correction (prox_ind_sum.cu:33-69).
