@@ -117,7 +117,8 @@ def sum_ind_sum2(dim, inds, s1, dim2=None, inds2=None, s2=None):
 
 def sum_ind_soc(dim, interleaved=False, alpha=1.0):
     """Projection onto the second-order cone alpha||x|| <= y
-    (sum_ind_soc.m); only alpha=1, planar layout (prox_ind_soc.cu)."""
+    (sum_ind_soc.m); planar layout.  Any alpha > 0 (the reference
+    restricts to alpha=1, prox_ind_soc.cu:116-119)."""
     if interleaved:
         raise ProstError("sum_ind_soc: only planar layout supported.")
 

@@ -33,12 +33,14 @@ class ProxZero(Prox):
 
 @pytree_dataclass
 class ProxIndSOC(ProxSeparableSum):
-    """Projection onto the second-order cone {(x, y): ||x||_2 <= y}.
+    """Projection onto the second-order cone {(x, y): alpha ||x||_2 <= y}.
 
     Layout (prox_ind_soc.cu:34-38): the dim-1 x-components are stored
     planar, the scalar y last — i.e. segment = [x_1..., x_2..., ..., y...].
-    Closed-form three-case projection (prox_ind_soc.cu:44-77).  Only
-    alpha = 1 is supported, as in the reference (prox_ind_soc.cu:116-119).
+    Closed-form three-case projection (prox_ind_soc.cu:44-77).  The
+    reference only supports alpha = 1 (prox_ind_soc.cu:116-119); here any
+    alpha > 0 works: with t = (||x||/alpha + y) / (1 + 1/alpha^2), the
+    boundary projection is (t/alpha) * x/||x|| with height t.
     """
 
     index: int = static_field()
@@ -52,21 +54,23 @@ class ProxIndSOC(ProxSeparableSum):
         return False
 
     def __post_init__(self):
-        if self.alpha != 1.0:
-            raise ProstError("ProxIndSOC: only alpha = 1 implemented.")
+        if self.alpha <= 0.0:
+            raise ProstError("ProxIndSOC: alpha must be positive.")
 
     def eval_local(self, arg, tau_diag, tau_scal, invert_tau):
+        al = self.alpha
         vecs = arg.reshape(self.dim, self.count)
         x0, y0 = vecs[: self.dim - 1], vecs[self.dim - 1]
         norm = jnp.sqrt(jnp.sum(x0 * x0, axis=0))
         safe_norm = jnp.where(norm > 0, norm, 1.0)
-        fac = (y0 + norm) / (2.0 * safe_norm)
+        t = (norm / al + y0) / (1.0 + 1.0 / al**2)
+        fac = (t / al) / safe_norm
 
-        inside = norm <= y0
-        polar = norm <= -y0  # inside the polar cone -> project to 0
+        inside = al * norm <= y0
+        polar = norm <= -al * y0  # inside the polar cone -> project to 0
         scale = jnp.where(inside, 1.0, jnp.where(polar, 0.0, fac))
         x = x0 * scale[None, :]
-        y = jnp.where(inside, y0, jnp.where(polar, 0.0, fac * norm))
+        y = jnp.where(inside, y0, jnp.where(polar, 0.0, t))
         return jnp.concatenate([x, y[None, :]]).reshape(self.size)
 
 

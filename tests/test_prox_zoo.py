@@ -205,6 +205,30 @@ def test_soc_projection():
         np.testing.assert_allclose(got[dim - 1, i], want_y, atol=1e-5)
 
 
+def test_soc_projection_general_alpha():
+    """alpha != 1 (beyond the reference, which errors there): check the
+    closed form against an SLSQP QP oracle per point."""
+    from scipy.optimize import minimize
+
+    rng = np.random.RandomState(15)
+    count, dim = 12, 3
+    n = count * dim
+    x0 = rng.randn(n) * 2
+    for alpha in (0.5, 2.0):
+        p = ProxIndSOC(index=0, size=n, count=count, dim=dim, alpha=alpha)
+        got = run_prox(p, x0).reshape(dim, count)
+        v = x0.reshape(dim, count)
+        for i in range(count):
+            z0 = v[:, i]
+            res = minimize(
+                lambda z: 0.5 * np.sum((z - z0) ** 2), np.array([0, 0, 1.0]),
+                constraints=[{"type": "ineq",
+                              "fun": lambda z: z[dim - 1]
+                              - alpha * np.linalg.norm(z[: dim - 1])}],
+                method="SLSQP", options={"maxiter": 200, "ftol": 1e-14})
+            np.testing.assert_allclose(got[:, i], res.x, atol=2e-4)
+
+
 def test_halfspace_projection():
     rng = np.random.RandomState(6)
     count, dim = 30, 3
