@@ -172,7 +172,8 @@ def sum_ind_epi_quad(dim, interleaved, a, b, c):
 
 
 def sum_ind_epi_polyhedral(dim, interleaved, coeff_a, coeff_b,
-                           count_vec, index_vec, sweeps=400):
+                           count_vec, index_vec, sweeps=400, tol=5e-7,
+                           omega=1.7):
     """Projection onto the epigraph of the max-of-affine function
     f(x) = max_i(<a_i, x> - b_i) per dim-vector (dim = d + 1).
 
@@ -215,7 +216,7 @@ def sum_ind_epi_polyhedral(dim, interleaved, coeff_a, coeff_b,
         return ProxIndEpiPolyhedral.create(
             index=idx, size=count, count=n_pts, dim=dim,
             a=a.astype(dt), b=b.astype(dt), mask=mask.astype(dt),
-            sweeps=sweeps)
+            sweeps=sweeps, tol=tol, omega=omega)
     return make
 
 

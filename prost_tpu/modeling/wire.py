@@ -352,6 +352,7 @@ register_prox(
 register_prox(
     "ind_epi_polyhedral", ProxIndEpiPolyhedral,
     lambda p: {"count": p.count, "dim": p.dim, "sweeps": p.sweeps,
+               "tol": p.tol, "omega": p.omega,
                "a": _enc(np.asarray(p.a)), "b": _enc(np.asarray(p.b)),
                "mask": _enc(np.asarray(p.mask))},
     lambda idx, size, data, name: ProxIndEpiPolyhedral.create(
@@ -359,7 +360,8 @@ register_prox(
         a=_wire_arr(data["a"]).reshape(-1, data["dim"] - 1, data["count"]),
         b=_wire_arr(data["b"]).reshape(-1, data["count"]),
         mask=_wire_arr(data["mask"]).reshape(-1, data["count"]),
-        sweeps=data["sweeps"]),
+        sweeps=data["sweeps"], tol=data.get("tol", 5e-7),
+        omega=data.get("omega", 1.7)),
 )
 register_prox(
     "ind_sum", ProxIndSum,

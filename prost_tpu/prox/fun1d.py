@@ -22,10 +22,11 @@ Behavioral parity with /root/reference/include/prost/prox/elemop/function_1d.hpp
   lq          f(z) = |z|^alpha, alpha >= 0    (incl. nonconvex alpha<1)
   truncquad   f(z) = min(alpha z^2, beta)     (Mumford-Shah)
   trunclin    f(z) = min(alpha |z|, beta)
-  lq_plus_eps f(z) = (|z|+beta)^alpha         (TODO stub in the reference,
-                                               function_1d.hpp:293-306; here
-                                               it is identity to keep the
-                                               registry total)
+  lq_plus_eps f(z) = (|z|+beta)^alpha         (the reference only stubs this
+                                               one — function_1d.hpp:293-306
+                                               returns 0; here it is actually
+                                               implemented by a Newton solve,
+                                               see fun_lq_plus_eps)
 """
 
 from __future__ import annotations

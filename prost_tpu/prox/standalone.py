@@ -200,12 +200,36 @@ class ProxIndEpiPolyhedral(ProxSeparableSum):
         min_{lam >= 0}  1/2 lam^T M lam - lam^T q,
         M = Atil Atil^T,  q = Atil z0 - b,  Atil = [A, -1],  z0 = (x0, y0),
 
-    recovered by z = z0 - Atil^T lam.  Solved by batched cyclic coordinate
-    descent (exact per-coordinate minimization, Gauss-Seidel), all `count`
-    problems advancing in lockstep on the VPU lane axis; the per-point
-    constraint counts may be ragged — padded rows carry mask 0 and never
-    activate.  A feasible point (all q <= 0) keeps lam = 0, so the
-    projection is the identity there with no special-casing.
+    recovered by z = z0 - Atil^T lam.  Solved by batched projected SOR
+    (over-relaxed Gauss-Seidel coordinate descent, exact per-coordinate
+    minimization at ``omega`` = 1), all `count` problems advancing in
+    lockstep on the VPU lane axis; the per-point constraint counts may be
+    ragged — padded rows carry mask 0 and never activate.  A feasible
+    point (all q <= 0) keeps lam = 0, so the projection is the identity
+    there with no special-casing.
+
+    Convergence / accuracy:
+
+    * The sweep loop is a ``lax.while_loop`` that exits when the largest
+      per-coordinate update of a full sweep (== the coordinate-wise
+      projected-gradient residual scaled by omega/M_ii) falls below
+      ``tol * (1 + max|q|)``, capped at ``sweeps`` sweeps.  w = M lam is
+      refreshed from scratch each sweep so rounding drift cannot grow
+      with the sweep count.
+    * The dual QP is degenerate when m >> d+1 (rank(M) = d+1): plain
+      Gauss-Seidel then converges slowly when near-parallel constraints
+      are active; ``omega`` near 2 (projected SOR, convergent for any
+      omega in (0, 2)) accelerates exactly that regime — measured ~5
+      orders of magnitude tighter after 20k sweeps at omega=1.9 vs 1.0
+      on the reference test's hardest instances.
+    * At the reference test's data scale (x0 ~ 1000*randn, m=25, 1e-3
+      absolute norm check — test_prox_sum_ind_epi_polyhedral.m:15-16,52)
+      the bar is ~1e-6 *relative*: f32 floors at ~2e-3 absolute there
+      (eps_f32 * scale * sqrt(ops)); in float64 mode
+      (``prost_tpu.set_dtype(jnp.float64)``) the bar is met with margin
+      (~3e-6, sweeps=20000, omega=1.9 — the reference itself runs
+      double, matlab/+prost/private/config.hpp:6-7).  See
+      tests/test_prox_epi_polyhedral.py::test_epi_polyhedral_reference_scale.
     """
 
     index: int = static_field()
@@ -213,6 +237,8 @@ class ProxIndEpiPolyhedral(ProxSeparableSum):
     count: int = static_field()
     dim: int = static_field()  # d + 1
     sweeps: int = static_field(default=400)
+    tol: float = static_field(default=5e-7)
+    omega: float = static_field(default=1.7)  # SOR over-relaxation
     a: jnp.ndarray = None      # (m, d, count) padded coefficient rows
     b: jnp.ndarray = None      # (m, count)
     mask: jnp.ndarray = None   # (m, count) 1.0 = real constraint, 0.0 = pad
@@ -220,7 +246,8 @@ class ProxIndEpiPolyhedral(ProxSeparableSum):
     Mii: jnp.ndarray = None    # (m, count) diag(M), padded entries set to 1
 
     @staticmethod
-    def create(index, size, count, dim, a, b, mask=None, sweeps=400):
+    def create(index, size, count, dim, a, b, mask=None, sweeps=400,
+               tol=5e-7, omega=1.7):
         """a: (m, d, count) or (m, d) shared; b: (m, count) or (m,)."""
         a = jnp.asarray(a)
         b = jnp.asarray(b)
@@ -243,7 +270,7 @@ class ProxIndEpiPolyhedral(ProxSeparableSum):
         M = jnp.where((mask[:, None, :] * mask[None, :, :]) > 0, M, eye)
         return ProxIndEpiPolyhedral(
             index=index, size=size, count=count, dim=dim, sweeps=sweeps,
-            a=a, b=b, mask=mask, M=M, Mii=Mii_safe,
+            tol=tol, omega=omega, a=a, b=b, mask=mask, M=M, Mii=Mii_safe,
         )
 
     @property
@@ -267,24 +294,40 @@ class ProxIndEpiPolyhedral(ProxSeparableSum):
         q = q * self.mask
 
         def coord(i, carry):
-            lam, w = carry
+            lam, w, dmax = carry
             g = lax.dynamic_slice_in_dim(w, i, 1, 0)[0] - \
                 lax.dynamic_slice_in_dim(q, i, 1, 0)[0]
             lam_i = lax.dynamic_slice_in_dim(lam, i, 1, 0)[0]
             mii = lax.dynamic_slice_in_dim(self.Mii, i, 1, 0)[0]
-            new = jnp.maximum(0.0, lam_i - g / mii) \
+            new = jnp.maximum(0.0, lam_i - self.omega * g / mii) \
                 * lax.dynamic_slice_in_dim(self.mask, i, 1, 0)[0]
             delta = new - lam_i
             mcol = lax.dynamic_slice_in_dim(self.M, i, 1, 1)[:, 0]  # (m, count)
             w = w + mcol * delta[None, :]
             lam = lax.dynamic_update_slice_in_dim(lam, new[None], i, 0)
-            return lam, w
-
-        def sweep(_, carry):
-            return lax.fori_loop(0, m, coord, carry)
+            return lam, w, jnp.maximum(dmax, jnp.max(jnp.abs(delta)))
 
         lam0 = jnp.zeros_like(q)
-        lam, _ = lax.fori_loop(0, self.sweeps, sweep, (lam0, lam0))
+        dtol = self.tol * (1.0 + jnp.max(jnp.abs(q)))
+
+        def sweep(carry):
+            lam, _, k, _ = carry
+            # refresh w = M lam from scratch each sweep: the incremental
+            # updates inside `coord` accumulate rounding drift that would
+            # otherwise grow without bound with the sweep count
+            w = jnp.einsum("ijc,jc->ic", self.M, lam)
+            lam, w, dmax = lax.fori_loop(
+                0, m, coord, (lam, w, jnp.zeros((), lam.dtype)))
+            return lam, w, k + 1, dmax
+
+        def not_done(carry):
+            _, _, k, dmax = carry
+            return (k < self.sweeps) & (dmax > dtol)
+
+        lam, _, _, _ = lax.while_loop(
+            not_done, sweep,
+            (lam0, lam0, jnp.asarray(0, jnp.int32),
+             jnp.asarray(jnp.inf, lam0.dtype)))
 
         x = x0 - jnp.einsum("ic,idc->dc", lam, self.a)
         y = y0 + jnp.sum(lam, axis=0)

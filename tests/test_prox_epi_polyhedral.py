@@ -72,6 +72,77 @@ def test_epi_polyhedral_vs_qp_oracle(d):
         np.testing.assert_allclose(got, z, atol=2e-3, rtol=1e-4)
 
 
+@pytest.mark.parametrize("d", [1, 2])
+def test_epi_polyhedral_reference_scale(d):
+    """The reference test's exact data regime: m=25 constraints,
+    x0/y0 ~ 1000*randn, 1e-3 absolute norm tolerance
+    (test_prox_sum_ind_epi_polyhedral.m:4,15-16,52).  That is ~1e-6
+    RELATIVE accuracy, which the reference reaches because it computes in
+    double (matlab/+prost/private/config.hpp:6-7); here float64 mode with
+    projected SOR (omega=1.9) meets the same bar.  A companion check pins
+    the documented f32 floor (~eps_f32 * scale)."""
+    import jax
+    import jax.numpy as jnp
+
+    import prost_tpu as pt
+
+    rng = np.random.RandomState(8954 + d)
+    m, n_pts = 25, 16
+    A = rng.randn(m, d)
+    b = rng.randn(m)
+    x0 = 1000.0 * rng.randn(n_pts, d)
+    y0 = 1000.0 * rng.randn(n_pts)
+    arg = np.concatenate([x0.T.reshape(-1), y0])
+    oracle = np.stack([_project_qp(x0[i], y0[i], A, b)
+                       for i in range(n_pts)])
+
+    def solve():
+        make = function.sum_ind_epi_polyhedral(
+            d + 1, False, np.tile(A.reshape(-1), n_pts), np.tile(b, n_pts),
+            np.full(n_pts, m), np.arange(n_pts) * m,
+            sweeps=20000, tol=1e-12, omega=1.9)
+        res = run_prox(make(0, n_pts * (d + 1)), arg)
+        x_proj = res[: n_pts * d].reshape(d, n_pts).T
+        y_proj = res[n_pts * d:]
+        return np.stack(
+            [np.concatenate([x_proj[i], [y_proj[i]]])
+             for i in range(n_pts)])
+
+    # f32 floor: eps_f32 * scale-1000 data leaves ~1e-3-scale absolute
+    # error no matter how many sweeps run (documented in the class)
+    got32 = solve()
+    assert np.linalg.norm(got32 - oracle, axis=1).max() < 3e-2
+
+    # f64: the reference's own regime — meets its 1e-3 norm check
+    jax.config.update("jax_enable_x64", True)
+    pt.set_dtype(jnp.float64)
+    try:
+        got64 = solve()
+    finally:
+        pt.set_dtype(jnp.float32)
+        jax.config.update("jax_enable_x64", False)
+    assert np.linalg.norm(got64 - oracle, axis=1).max() < 1e-3
+
+
+def test_epi_polyhedral_early_exit_matches_full_sweeps():
+    """The while_loop early exit must not change results vs a huge fixed
+    sweep budget (it only stops once updates stagnate below tol)."""
+    rng = np.random.RandomState(11)
+    d, m, n_pts = 2, 6, 10
+    A, b = rng.randn(m, d), rng.randn(m)
+    args = dict(coeff_a=np.tile(A.reshape(-1), n_pts),
+                coeff_b=np.tile(b, n_pts),
+                count_vec=np.full(n_pts, m), index_vec=np.arange(n_pts) * m)
+    p_fast = function.sum_ind_epi_polyhedral(d + 1, False, sweeps=400,
+                                             **args)(0, n_pts * (d + 1))
+    p_slow = function.sum_ind_epi_polyhedral(d + 1, False, sweeps=5000,
+                                             tol=0.0,
+                                             **args)(0, n_pts * (d + 1))
+    arg = 10 * rng.randn(p_fast.size)
+    np.testing.assert_allclose(run_prox(p_fast, arg), run_prox(p_slow, arg),
+                               atol=1e-4)
+
+
 def test_epi_polyhedral_ragged_counts_and_feasible_identity():
     """Ragged per-point constraint counts; feasible points stay fixed."""
     rng = np.random.RandomState(3)

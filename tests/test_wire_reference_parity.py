@@ -32,7 +32,9 @@ def _spec_for(name):
     if name in ("moreau", "permute", "transform"):
         return None  # combinators: exercised below with an inner prox
     if name == "ind_range":
-        return None  # needs a factored matrix; covered by test_wire.py
+        # synthesize a well-conditioned tall basis (size x 3)
+        A = np.linalg.qr(np.random.RandomState(3).randn(8, 3))[0]
+        return {"idx": 0, "size": 8, "data": {"A": wire._enc(A)}}
     if name == "ind_soc":
         return {"idx": 0, "size": 9,
                 "data": {"count": 3, "dim": 3, "alpha": 1.0}}
@@ -112,8 +114,7 @@ def test_reference_prox_kind_constructs_and_evaluates(name):
                                  "perm": list(range(7, -1, -1))}}
             p = wire.from_prox_spec(spec)
         else:
-            pytest.skip(f"{name}: needs problem-specific data")
-            return
+            raise AssertionError(f"no spec template for {name}")
     else:
         spec = {"name": name, **tmpl}
         p = wire.from_prox_spec(spec)
