@@ -45,13 +45,22 @@ _SQRT_T = 0.4472135954999579  # sqrt(Tau) = sqrt(1/5)
 _SQRT_S_Q = 0.7071067811865476  # sqrt(Sigma_q) = sqrt(1/2)
 
 
-def _shift_ops_3d(shape, roll):
+def _shift_ops_3d(shape, roll, row_offset=None, nx_global=None):
     """Forward-difference / adjoint stencils on the trailing two axes of a
-    (L, nx, ny) value (cf. fused_rof._shift_ops for the 2D case)."""
+    (L, nx, ny) value (cf. fused_rof._shift_ops for the 2D case).
+
+    With (row_offset, nx_global) the row masks use GLOBAL row indices, so
+    the stencils are correct on a halo-extended band/shard of a
+    row-partitioned plane (see fused_rof._shift_ops)."""
     ri = lax.broadcasted_iota(jnp.int32, shape, 1)
     ci = lax.broadcasted_iota(jnp.int32, shape, 2)
-    not_last_r = ri < (shape[1] - 1)
-    not_first_r = ri > 0
+    if row_offset is not None:
+        gri = ri + row_offset
+        not_last_r = gri < (nx_global - 1)
+        not_first_r = gri > 0
+    else:
+        not_last_r = ri < (shape[1] - 1)
+        not_first_r = ri > 0
     not_last_c = ci < (shape[2] - 1)
     not_first_c = ci > 0
 

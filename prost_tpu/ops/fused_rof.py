@@ -421,6 +421,78 @@ def fits_vmem(nx: int, ny: int, itemsize: int = 4) -> bool:
     return nx * ny * itemsize * 20 <= _VMEM_LIMIT
 
 
+def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
+               itemsize: int = 4) -> int | None:
+    """Row-band tiling factor for problems too big for the whole-plane
+    kernel: the smallest divisor ``n_bands`` of nx such that one
+    halo-extended (nx/n_bands + 2*(2*ri + 2), ny) band keeps ~n_planes
+    live planes under the VMEM limit.  Returns 1 when the whole plane
+    fits, None when no efficient tiling exists (bands would be thinner
+    than their halos, or nx has no suitable divisor) — the caller then
+    falls back to the generic path, as block_gradient2d.cu-style kernels
+    never need to (the reference streams HBM per op and works at any
+    size; here tiling is what removes the VMEM residency cap)."""
+    if nx * ny * itemsize * n_planes <= _VMEM_LIMIT:
+        return 1
+    halo = 2 * max(int(residual_iter), 1) + 2
+    for n_bands in range(2, nx + 1):
+        if nx % n_bands:
+            continue
+        rows = nx // n_bands
+        if rows < halo:  # halo recompute would dominate
+            return None
+        if (rows + 2 * halo) * ny * itemsize * n_planes <= _VMEM_LIMIT:
+            return n_bands
+    return None
+
+
+def rof_fused_chunk_tiled(x, q, f, w, tau, sigma, theta, lmb, radius, count,
+                          n_bands: int, dataterm: str = "square",
+                          interpret: bool = False):
+    """``count`` fused iterations on a plane too large for VMEM: the plane
+    is split into ``n_bands`` row bands, each run through the SAME
+    halo-extended chunk kernel as the sharded path (rof_fused_chunk_halo)
+    with a (2*count + 2)-row halo of its neighbors' rows — recomputed
+    redundantly, exactly like a shard recomputes its ppermute'd halo.
+    Domain edges see zero halos (jnp.pad), matching ppermute's edge
+    semantics; the kernels' global-row masks keep them inert.  Owned rows
+    are bit-identical to the whole-plane kernel (information propagates
+    <= 2 rows/iteration), and the owned-row norms sum to the global norms.
+
+    Same signature/returns as ``rof_fused_chunk``.
+    """
+    nx, ny = x.shape
+    halo = 2 * int(count) + 2
+    rows = nx // n_bands
+    assert rows * n_bands == nx
+
+    def pad(a):
+        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
+        return jnp.pad(a, cfg)
+
+    xp, qp, fp, wp = pad(x), pad(q), pad(f), pad(w)
+    base = _scal_vec(x, tau, sigma, theta, lmb, radius)
+    outs = []
+    for i in range(n_bands):
+        sl = slice(i * rows, i * rows + rows + 2 * halo)
+        scal = jnp.concatenate([
+            base,
+            jnp.asarray([i * rows - halo, halo, halo + rows], x.dtype),
+        ])
+        outs.append(rof_fused_chunk_halo(
+            xp[sl], qp[:, sl], fp[sl], wp[sl], scal, count, nx,
+            dataterm=dataterm, interpret=interpret))
+
+    own = slice(halo, halo + rows)
+
+    def cat(j, is_q):
+        parts = [(o[j][:, own] if is_q else o[j][own]) for o in outs]
+        return jnp.concatenate(parts, axis=1 if is_q else 0)
+
+    norms2 = sum(o[4] for o in outs)
+    return cat(0, False), cat(1, True), cat(2, False), cat(3, True), norms2
+
+
 def match_rof_structure(problem):
     """Detect the fusable ROF structure; returns dict(nx, ny, f, lmb) or
     None.  Conditions: single gradient2d block (L=1, label_first=False),
@@ -501,8 +573,9 @@ def match_rof_structure(problem):
     sr = np.asarray(problem.scaling_right)
     if not (np.allclose(sl, 0.5) and np.allclose(sr, 0.25)):
         return None
-    if not fits_vmem(blk.nx, blk.ny):
-        return None
+    # NOTE: no VMEM-size gate here — structure matching only.  Callers
+    # pick the whole-plane kernel, the row-band tiled kernel (band_count),
+    # or the halo-sharded kernel according to their memory geometry.
     return {
         "nx": blk.nx, "ny": blk.ny, "f": f, "w": w,
         "lmb": float(c), "radius": radius, "dataterm": dataterm,
@@ -530,6 +603,13 @@ class FusedROFPDHG(BackendPDHG):
         usable = (jax.default_backend() != "cpu") or interpret
         usable = usable and opts.stepsize != "alg2"
         self.rof = match_rof_structure(problem) if usable else None
+        if self.rof is not None:
+            nb = band_count(self.rof["nx"], self.rof["ny"],
+                            opts.residual_iter)
+            if nb is None:
+                self.rof = None  # no efficient tiling -> generic path
+            else:
+                self.rof["n_bands"] = nb
         self.ml = self.deblur = None
         if usable and self.rof is None:
             from .fused_multilabel import match_multilabel_structure
@@ -562,7 +642,7 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_rof_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     r["nx"], r["ny"], r["lmb"], r["dataterm"],
-                    self.interpret,
+                    r["n_bands"], self.interpret,
                     tols, r["f"], r["w"],
                     jnp.asarray(r["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -615,9 +695,10 @@ class FusedROFPDHG(BackendPDHG):
         return super().run(state, until_iter)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(13,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(14,))
 def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
-                   interpret, tols, f_plane, w_plane, radius, state, until):
+                   n_bands, interpret, tols, f_plane, w_plane, radius, state,
+                   until):
     """Three phases around the single-kernel fused chunks (the in-kernel
     loop bound must be static for Mosaic):
 
@@ -642,9 +723,14 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
     def fused_chunk(s: PDHGState) -> PDHGState:
         x = s.x.reshape(nx, ny)
         q = s.y.reshape(2, nx, ny)
-        x2, q2, xp, qp, norms2 = rof_fused_chunk(
-            x, q, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
-            radius, ri, dataterm=dataterm, interpret=interpret)
+        if n_bands == 1:
+            x2, q2, xp, qp, norms2 = rof_fused_chunk(
+                x, q, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
+                radius, ri, dataterm=dataterm, interpret=interpret)
+        else:
+            x2, q2, xp, qp, norms2 = rof_fused_chunk_tiled(
+                x, q, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
+                radius, ri, n_bands, dataterm=dataterm, interpret=interpret)
         norms = jnp.sqrt(norms2)
         s = dataclasses.replace(
             s,

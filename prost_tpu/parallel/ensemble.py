@@ -85,7 +85,7 @@ class BatchedPDHG:
         path (vmap over ops/fused_rof.rof_fused_chunk: the batch axis
         becomes the kernel grid axis).  All instances must share
         (nx, ny, dataterm); f/w/lmb/radius may differ per instance."""
-        from ..ops.fused_rof import match_rof_structure
+        from ..ops.fused_rof import fits_vmem, match_rof_structure
 
         usable = (jax.default_backend() != "cpu") or interpret
         if not usable or self.opts.stepsize == "alg2":
@@ -102,6 +102,8 @@ class BatchedPDHG:
         if len(keys) != 1:
             return None
         nx, ny, dataterm = keys.pop()
+        if not fits_vmem(nx, ny):
+            return None  # batched kernel holds one whole instance per step
         batched = {
             "nx": nx, "ny": ny, "dataterm": dataterm,
             "f": jnp.stack([m["f"] for m in ms]),

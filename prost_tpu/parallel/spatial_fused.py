@@ -79,6 +79,13 @@ class ShardedFusedROF(BackendPDHG):
                 f"{self.halo} (= 2*residual_iter + 2); lower residual_iter "
                 "or use fewer shards."
             )
+        from ..ops.fused_rof import fits_vmem
+        if not fits_vmem(self.shard_rows + 2 * self.halo, self.rof["ny"]):
+            raise ProstError(
+                "ShardedFusedROF: one halo-extended shard block exceeds the "
+                "VMEM budget; use more shards (or FusedROFPDHG's row-band "
+                "tiled kernel on one chip)."
+            )
 
     def _shard(self, state):
         vec = NamedSharding(self.mesh, P(self.axis_name))

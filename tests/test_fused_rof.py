@@ -154,6 +154,70 @@ def test_fused_full_solve_converges():
     assert res.result == pt.ConvergenceResult.CONVERGED
 
 
+def test_band_count_geometry():
+    from prost_tpu.ops.fused_rof import band_count
+
+    assert band_count(512, 512, 10) == 1          # whole plane fits
+    nb = band_count(2048, 2048, 10)               # needs tiling
+    assert nb is not None and nb > 1 and 2048 % nb == 0
+    rows = 2048 // nb
+    assert rows >= 2 * 10 + 2                     # bands taller than halo
+    # one extended band fits the budget (20 live planes)
+    assert (rows + 2 * 22) * 2048 * 4 * 20 <= 96 * 1024 * 1024
+    assert band_count(4096, 4096, 10) is not None
+    # pathological: rows would be thinner than the halo -> no tiling
+    assert band_count(64, 600000, 10) is None
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_tiled_chunk_bit_equal_to_whole_plane(n_bands):
+    """Row-band tiled chunk == whole-plane chunk, bit-for-bit on owned
+    rows (same math as the sharded halo equivalence)."""
+    from prost_tpu.ops.fused_rof import rof_fused_chunk, rof_fused_chunk_tiled
+
+    nx = ny = 64
+    ri = 6
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    q = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = f
+    args = (0.9, 1.1, 1.0, 8.0, 1.0)  # tau, sigma, theta, lmb, radius
+
+    ref = rof_fused_chunk(x, q, f, w, *args, ri, interpret=True)
+    til = rof_fused_chunk_tiled(x, q, f, w, *args, ri, n_bands,
+                                interpret=True)
+    for a, b in zip(ref[:4], til[:4]):  # iterate planes: bit-identical
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # norms: per-band partial sums reduce in a different order than the
+    # whole-plane reduction -> f32 rounding only
+    np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(til[4]),
+                               rtol=1e-5)
+
+
+def test_tiled_end_to_end_matches_generic():
+    """FusedROFPDHG with the tiled kernel forced (n_bands=4) follows the
+    generic trajectory exactly, including residuals/adaptation."""
+    nx = ny = 48
+    rng = np.random.RandomState(6)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 40)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.rof is not None
+    fus.rof["n_bands"] = 4  # force the tiled path on a small plane
+    fs = fus.run(fus.initial_state(), 40)
+
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
 def test_cpu_without_interpret_falls_back():
     f = np.random.RandomState(4).rand(16 * 16).astype(np.float32)
     prob = rof_problem(16, 16, f, 8.0)
