@@ -113,33 +113,40 @@ def _ml_update(u, qx, qy, s, gx, gy, su, tf, tau, sig_q, sig_s, theta,
     return u2, qx2, qy2, s2, gx2, gy2, su2, kty
 
 
-def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
-                     uo_ref, qo_ref, so_ref,
-                     upo_ref, qpo_ref, spo_ref, norms_ref, *,
-                     count: int, L: int):
-    """One residual_iter-sized chunk: ``count - 1`` plain iterations, then
-    the aligned iteration with its four preconditioned residual norms
-    (squared) reduced in-kernel to SMEM (cf. fused_rof._rof_chunk_kernel).
+def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
+                   count: int, L: int, halo_ctx=None):
+    """The math of one residual_iter-sized chunk: ``count - 1`` plain
+    iterations, then the aligned iteration with its four preconditioned
+    residual norms (squared).  Shared by the whole-plane, halo-sharded,
+    and row-band tiled kernels (cf. fused_rof._chunk_core).
 
-    scal_ref (SMEM): [tau, sigma, theta, radius, d_s].
+    halo_ctx = (row_offset, nx_global, own_lo, own_hi) runs the chunk on a
+    halo-extended band/shard: stencil masks use global rows, and the norms
+    cover only the owned local rows so a cross-band sum reproduces the
+    global norms exactly.
+
+    Returns ((u2, q2, s2), (u_prev, q_prev, s_prev), norms) with q as
+    (2L, ...) stacked [gx; gy].
     """
     from jax.experimental.pallas import tpu as pltpu
 
-    tau_raw = scal_ref[0]
-    sigma_raw = scal_ref[1]
-    theta = scal_ref[2]
-    radius = scal_ref[3]
-    d_s = scal_ref[4]
     tau = tau_raw * 0.2          # tau * Tau
     sig_q = sigma_raw * 0.5      # sigma * Sigma_q
     sig_s = sigma_raw * (1.0 / L)  # sigma * Sigma_s
-
-    f = f_ref[...]
     tf = tau * f
-    ops = _shift_ops_3d(f.shape, pltpu.roll)
-    _dx, _dy = ops[0], ops[1]
 
-    u0 = u_ref[...]
+    if halo_ctx is not None:
+        row_offset, nx_global, own_lo, own_hi = halo_ctx
+        ops = _shift_ops_3d(f.shape, pltpu.roll, row_offset, nx_global)
+        lri = lax.broadcasted_iota(jnp.int32, f.shape[1:], 0)
+        owned2 = (lri >= own_lo) & (lri < own_hi)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned2, v, 0.0))
+    else:
+        ops = _shift_ops_3d(f.shape, pltpu.roll)
+        nsum = jnp.sum
+    _dx, _dy = ops[0], ops[1]
 
     def body(_, carry):
         u, qx, qy, s, gx, gy, su = carry
@@ -148,10 +155,9 @@ def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
             radius, d_s, ops)
         return u, qx, qy, s, gx, gy, su
 
-    q0 = q_ref[...]
     u, qx, qy, s, gxp, gyp, sup = lax.fori_loop(
         0, count - 1, body,
-        (u0, q0[:L], q0[L:], s_ref[...],
+        (u0, q0[:L], q0[L:], s0,
          _dx(u0), _dy(u0), jnp.sum(u0, axis=0)))
 
     # aligned iteration; (gxp, gyp, sup) = K x_prev carried for free
@@ -174,13 +180,40 @@ def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
     wh = (u - u2) * (1.0 / (tau_raw * _SQRT_T)) - _SQRT_T * ktyp
     dd = wh + _SQRT_T * kty2
 
-    norms_ref[0] = (jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y)
-                    + jnp.sum(pd_s * pd_s))
-    norms_ref[1] = (jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y)
-                    + jnp.sum(zh_s * zh_s))
-    norms_ref[2] = jnp.sum(dd * dd)
-    norms_ref[3] = jnp.sum(wh * wh)
+    norms = (
+        nsum(pd_x * pd_x) + nsum(pd_y * pd_y) + nsum(pd_s * pd_s),
+        nsum(zh_x * zh_x) + nsum(zh_y * zh_y) + nsum(zh_s * zh_s),
+        nsum(dd * dd),
+        nsum(wh * wh),
+    )
+    return (u2, qx2, qy2, s2), (u, qx, qy, s), norms
 
+
+def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
+                     uo_ref, qo_ref, so_ref,
+                     upo_ref, qpo_ref, spo_ref, norms_ref, *,
+                     count: int, L: int, halo: bool = False,
+                     nx_global: int = 0):
+    """One residual_iter-sized chunk in ONE kernel, residual norms reduced
+    to SMEM (cf. fused_rof._rof_chunk_kernel).
+
+    scal_ref (SMEM): [tau, sigma, theta, radius, d_s] — with ``halo``,
+    three more entries [row_offset, own_lo, own_hi] (per-band integers as
+    floats) and the refs are one band's halo-EXTENDED planes.
+    """
+    halo_ctx = None
+    if halo:
+        halo_ctx = (scal_ref[5].astype(jnp.int32), nx_global,
+                    scal_ref[6].astype(jnp.int32),
+                    scal_ref[7].astype(jnp.int32))
+    new, prev, norms = _ml_chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        u_ref[...], q_ref[...], s_ref[...], f_ref[...], count, L,
+        halo_ctx=halo_ctx)
+    u2, qx2, qy2, s2 = new
+    u, qx, qy, s = prev
+    for i in range(4):
+        norms_ref[i] = norms[i]
     uo_ref[...] = u2
     qo_ref[0:L] = qx2
     qo_ref[L:] = qy2
@@ -191,27 +224,17 @@ def _ml_chunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
     spo_ref[...] = s
 
 
-def ml_fused_chunk(u, q, s, f, tau, sigma, theta, radius, d_s, count,
-                   interpret: bool = False):
-    """``count`` fused iterations ending on a residual iteration, in one
-    kernel.  u/f are (L, nx, ny), q is (2L, nx, ny) = [gx; gy] stacked,
-    s is (nx, ny).  Returns the new iterate, the pre-aligned-step iterate,
-    and the length-4 vector of SQUARED preconditioned residual norms."""
+def _ml_pallas_call(scal, u, q, s, f, count, L, halo, nx_global, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L = u.shape[0]
-    scal = jnp.stack([
-        jnp.asarray(tau, u.dtype), jnp.asarray(sigma, u.dtype),
-        jnp.asarray(theta, u.dtype),
-        jnp.asarray(radius, u.dtype), jnp.asarray(d_s, u.dtype),
-    ])
     plane = pl.BlockSpec(memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                  for a in (u, q, s, u, q, s)]
     out_shape.append(jax.ShapeDtypeStruct((4,), u.dtype))
     return pl.pallas_call(
-        partial(_ml_chunk_kernel, count=int(count), L=L),
+        partial(_ml_chunk_kernel, count=int(count), L=L, halo=halo,
+                nx_global=int(nx_global)),
         out_shape=out_shape,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + [plane] * 4,
         out_specs=[plane] * 6 + [pl.BlockSpec(memory_space=pltpu.SMEM)],
@@ -221,9 +244,90 @@ def ml_fused_chunk(u, q, s, f, tau, sigma, theta, radius, d_s, count,
     )(scal, u, q, s, f)
 
 
+def _ml_scal(u, tau, sigma, theta, radius, d_s):
+    return jnp.stack([
+        jnp.asarray(tau, u.dtype), jnp.asarray(sigma, u.dtype),
+        jnp.asarray(theta, u.dtype),
+        jnp.asarray(radius, u.dtype), jnp.asarray(d_s, u.dtype),
+    ])
+
+
+def ml_fused_chunk(u, q, s, f, tau, sigma, theta, radius, d_s, count,
+                   interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration, in one
+    kernel.  u/f are (L, nx, ny), q is (2L, nx, ny) = [gx; gy] stacked,
+    s is (nx, ny).  Returns the new iterate, the pre-aligned-step iterate,
+    and the length-4 vector of SQUARED preconditioned residual norms."""
+    L = u.shape[0]
+    scal = _ml_scal(u, tau, sigma, theta, radius, d_s)
+    return _ml_pallas_call(scal, u, q, s, f, count, L, False, 0, interpret)
+
+
+def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
+                        interpret: bool = False):
+    """``count`` fused iterations on one halo-extended band/shard.  The
+    plane arguments carry (nxb, ny) local row blocks; scal is the length-8
+    vector [tau, sigma, theta, radius, d_s, row_offset, own_lo, own_hi].
+    Returns the same tuple as ml_fused_chunk with norms covering owned
+    rows only."""
+    L = u.shape[0]
+    return _ml_pallas_call(scal, u, q, s, f, count, L, True, nx_global,
+                           interpret)
+
+
+def ml_fused_chunk_tiled(u, q, s, f, tau, sigma, theta, radius, d_s, count,
+                         n_bands: int, interpret: bool = False):
+    """``count`` fused iterations on planes too large for VMEM: row bands
+    through the halo-extended kernel, exactly like
+    fused_rof.rof_fused_chunk_tiled (owned rows bit-identical to the
+    whole-plane kernel; owned-row norms sum to the global norms)."""
+    L, nx, ny = u.shape
+    halo = 2 * int(count) + 2
+    rows = nx // n_bands
+    assert rows * n_bands == nx
+
+    def pad(a):
+        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
+        return jnp.pad(a, cfg)
+
+    up, qp, sp, fp = pad(u), pad(q), pad(s), pad(f)
+    base = _ml_scal(u, tau, sigma, theta, radius, d_s)
+    outs = []
+    for i in range(n_bands):
+        sl = slice(i * rows, i * rows + rows + 2 * halo)
+        scal = jnp.concatenate([
+            base,
+            jnp.asarray([i * rows - halo, halo, halo + rows], u.dtype),
+        ])
+        outs.append(ml_fused_chunk_halo(
+            up[:, sl], qp[:, sl], sp[sl], fp[:, sl], scal, count, nx,
+            interpret=interpret))
+
+    own = slice(halo, halo + rows)
+
+    def cat(j, nd):
+        parts = [(o[j][:, own] if nd == 3 else o[j][own]) for o in outs]
+        return jnp.concatenate(parts, axis=1 if nd == 3 else 0)
+
+    norms2 = sum(o[6] for o in outs)
+    return (cat(0, 3), cat(1, 3), cat(2, 2), cat(3, 3), cat(4, 3),
+            cat(5, 2), norms2)
+
+
 def ml_fits_vmem(nx: int, ny: int, L: int, itemsize: int = 4) -> bool:
     """~15 live (L, nx, ny) buffers must fit in the raised VMEM limit."""
     return (15 * L + 5) * nx * ny * itemsize <= _VMEM_LIMIT
+
+
+def ml_band_count(nx: int, ny: int, L: int, residual_iter: int,
+                  itemsize: int = 4):
+    """Row-band tiling factor (cf. fused_rof.band_count): smallest divisor
+    of nx whose halo-extended band keeps the ~(15L + 5) live label-planes
+    under the VMEM limit; 1 = whole plane, None = no efficient tiling."""
+    from .fused_rof import band_count
+
+    return band_count(nx, ny, residual_iter, n_planes=15 * L + 5,
+                      itemsize=itemsize)
 
 
 def match_multilabel_structure(problem):
@@ -314,17 +418,17 @@ def match_multilabel_structure(problem):
             and np.allclose(sl[2 * n * L:], 1.0 / L)
             and np.allclose(sr, 0.2)):
         return None
-    if not ml_fits_vmem(nx, ny, L):
-        return None
+    # no VMEM gate here (structure matching only) — callers pick the
+    # whole-plane, tiled (ml_band_count), or halo-sharded kernel
     return {
         "nx": nx, "ny": ny, "L": L, "f": f,
         "radius": radius, "d_s": d_s,
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(12,))
-def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, interpret,
-                  tols, f_planes, radius, d_s, state, until):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(13,))
+def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
+                  interpret, tols, f_planes, radius, d_s, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
     generic tail."""
@@ -339,7 +443,9 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, interpret,
         u = s.x.reshape(L, nx, ny)
         q = s.y[:2 * nL].reshape(2 * L, nx, ny)
         sm = s.y[2 * nL:].reshape(nx, ny)
-        u2, q2, s2, up, qp, sp, norms2 = ml_fused_chunk(
+        chunk = (ml_fused_chunk if n_bands == 1
+                 else partial(ml_fused_chunk_tiled, n_bands=n_bands))
+        u2, q2, s2, up, qp, sp, norms2 = chunk(
             u, q, sm, f_planes, s.tau, s.sigma, s.theta, radius, d_s,
             ri, interpret=interpret)
         norms = jnp.sqrt(norms2)

@@ -612,9 +612,17 @@ class FusedROFPDHG(BackendPDHG):
                 self.rof["n_bands"] = nb
         self.ml = self.deblur = None
         if usable and self.rof is None:
-            from .fused_multilabel import match_multilabel_structure
+            from .fused_multilabel import (match_multilabel_structure,
+                                           ml_band_count)
 
             self.ml = match_multilabel_structure(problem)
+            if self.ml is not None:
+                nb = ml_band_count(self.ml["nx"], self.ml["ny"],
+                                   self.ml["L"], opts.residual_iter)
+                if nb is None:
+                    self.ml = None
+                else:
+                    self.ml["n_bands"] = nb
         if usable and self.rof is None and self.ml is None:
             from .fused_deblur import match_deblur_structure
 
@@ -653,7 +661,7 @@ class FusedROFPDHG(BackendPDHG):
                 m = self.ml
                 return _fused_ml_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
-                    m["nx"], m["ny"], m["L"], self.interpret,
+                    m["nx"], m["ny"], m["L"], m["n_bands"], self.interpret,
                     tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
                     jnp.asarray(m["d_s"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),

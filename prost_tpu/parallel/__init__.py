@@ -22,7 +22,7 @@ package is the TPU-native capability it lacks:
 from .ensemble import BatchedPDHG, stack_problems
 from .mesh import make_mesh
 from .spatial import ShardedPDHG
-from .spatial_fused import ShardedFusedROF
+from .spatial_fused import ShardedFusedMultilabel, ShardedFusedROF
 
 __all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG",
-           "ShardedFusedROF"]
+           "ShardedFusedROF", "ShardedFusedMultilabel"]

@@ -90,6 +90,49 @@ def test_fused_ml_matches_generic(residual_iter):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
 
 
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_ml_tiled_chunk_bit_equal_to_whole_plane(n_bands):
+    """Row-band tiled multilabel chunk == whole-plane chunk, bit-for-bit
+    on owned rows (cf. test_fused_rof.py)."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_chunk_tiled)
+
+    L, nx, ny = 3, 48, 24
+    ri = 4
+    rng = np.random.RandomState(9)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0)  # tau, sigma, theta, radius, d_s
+
+    ref = ml_fused_chunk(u, q, s, f, *args, ri, interpret=True)
+    til = ml_fused_chunk_tiled(u, q, s, f, *args, ri, n_bands,
+                               interpret=True)
+    for a, b in zip(ref[:6], til[:6]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(til[6]),
+                               rtol=1e-5)
+
+
+def test_ml_tiled_end_to_end_matches_generic():
+    prob, _ = ml_problem(16, 10, 3, lmb=0.4, seed=11)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=3,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.ml is not None
+    fus.ml["n_bands"] = 2  # force the tiled path on a small plane
+    fs = fus.run(fus.initial_state(), 31)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
 def test_fused_ml_full_solve_converges():
     prob, _ = ml_problem(10, 10, 3, lmb=0.3, seed=5)
     popts = PDHGOptions(stepsize="boyd", residual_iter=10,

@@ -61,6 +61,89 @@ def test_sharded_fused_full_solve_converges():
     assert res.result == pt.ConvergenceResult.CONVERGED
 
 
+@pytest.mark.parametrize("n_shards,residual_iter", [(4, 3), (2, 5)])
+def test_sharded_fused_multilabel_matches_generic(n_shards, residual_iter):
+    from prost_tpu.parallel import ShardedFusedMultilabel
+    from test_fused_multilabel import ml_problem
+
+    prob, _ = ml_problem(32, 16, 3, lmb=0.4, seed=8)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    sh = ShardedFusedMultilabel(prob, popts, _opts(), _mesh(n_shards),
+                                interpret=True)
+    ss = sh.run(sh.initial_state(), 31)
+
+    assert int(ss.iteration) == int(gs.iteration) == 31
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(ss.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+
+def _collective_permute_bytes(hlo_text):
+    """Sum the output bytes of all collective-permute(-start) ops in an
+    optimized HLO dump."""
+    import re
+
+    total = 0
+    for m in re.finditer(
+            r"(\w+)\[([\d,]*)\][^\n]*collective-permute", hlo_text):
+        dt, dims = m.group(1), m.group(2)
+        size = {"f32": 4, "f64": 8, "bf16": 2, "u32": 4,
+                "s32": 4}.get(dt)
+        if size is None:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * size
+    return total
+
+
+def test_sharded_fused_comm_volume_per_chunk():
+    """Communication-volume regression (VERDICT round 1, weak #10): the
+    hand-scheduled sharded ROF chunk must move exactly the designed halo
+    bytes per chunk — 2 directions x 4 planes (x, qx, qy, f, w share one
+    exchange each) x halo rows — and nothing more."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from functools import partial as _partial
+
+    from prost_tpu.parallel.spatial_fused import _halo_chunk
+
+    nx, ny, ri, n_shards = 64, 32, 5, 4
+    halo = 2 * ri + 2
+    mesh = _mesh(n_shards)
+    body = _partial(_halo_chunk, axis="sp", n_shards=n_shards, halo=halo,
+                    nx=nx, ri=ri, dataterm="square", interpret=True)
+    chunk = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("sp", None), P(None, "sp", None), P("sp", None),
+                  P("sp", None), P()),
+        out_specs=(P("sp", None), P(None, "sp", None), P("sp", None),
+                   P(None, "sp", None), P()),
+        check_vma=False,
+    ))
+    x = jnp.zeros((nx, ny), jnp.float32)
+    q = jnp.zeros((2, nx, ny), jnp.float32)
+    scal = jnp.zeros((8,), jnp.float32)
+    lowered = chunk.lower(x, q, x, x, scal)
+    hlo = lowered.compile().as_text()
+    measured = _collective_permute_bytes(hlo)
+    # designed volume PER SHARD: 2 directions x (x + q(2 planes) + f)
+    # x (halo, ny) f32 — the w plane is dead for dataterm="square" and
+    # XLA must DCE its exchange
+    expected = 2 * 4 * halo * ny * 4
+    assert measured == expected, (measured, expected)
+
+
 def test_sharded_fused_validates_geometry():
     f = np.random.RandomState(7).rand(24 * 24).astype(np.float32)
     prob = rof_problem(24, 24, f, 8.0)
