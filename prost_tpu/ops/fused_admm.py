@@ -266,6 +266,11 @@ class FusedROFADMM(BackendADMM):
         # the in-kernel CGLS
         usable = usable and opts.projection == "cgls"
         self.rof = match_rof_structure(problem) if usable else None
+        if self.rof is not None and not fits_vmem(self.rof["nx"],
+                                                  self.rof["ny"]):
+            # whole-plane kernel only (no tiled ADMM variant yet: the
+            # in-kernel CGLS carries extra live planes)
+            self.rof = None
         if self.rof is not None and self.solver_opts.verbose:
             print("FusedROFADMM: using fused Pallas iteration.")
 

@@ -60,7 +60,7 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _MAX_TAPS = 96  # statically unrolled shifted-adds per conv apply
 
 
-def _conv_ops(shape, nx, ny, taps, roll):
+def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
     """Forward full convolution / adjoint (valid correlation) as unrolled
     roll stencils on (nx2, ny2) planes whose [nx:, :] / [:, ny:] padding is
     zero.
@@ -71,11 +71,20 @@ def _conv_ops(shape, nx, ny, taps, roll):
     Adjoint: out[i] = sum_d k[d] v[i+d], valid only on the (nx, ny)
     region; the negative-roll wrap lands in rows/cols >= nx (resp. ny)
     and is removed by the region mask.
+
+    With ``row_offset`` the row masks use GLOBAL row indices so the ops
+    are correct on a halo-extended row band/shard of the (nx2, ny2)
+    geometry (wrap/garbage effects stay confined to the halo rows, which
+    the halo-width accounting covers — see deblur_halo_rows).
     """
     nx2, ny2 = shape
     ri = lax.broadcasted_iota(jnp.int32, shape, 0)
     ci = lax.broadcasted_iota(jnp.int32, shape, 1)
-    region = (ri < nx) & (ci < ny)
+    if row_offset is not None:
+        gri = ri + row_offset
+        region = (gri >= 0) & (gri < nx) & (ci < ny)
+    else:
+        region = (ri < nx) & (ci < ny)
 
     def roll2(u, dx, dy):
         if dx:
@@ -101,25 +110,30 @@ def _conv_ops(shape, nx, ny, taps, roll):
     return fwd, adj, region
 
 
-def _grad_ops(shape, nx, ny, roll):
+def _grad_ops(shape, nx, ny, roll, row_offset=None):
     """Forward-difference / adjoint stencils restricted to the embedded
     (nx, ny) region of an (nx2, ny2) plane (cf. fused_rof._shift_ops, whose
-    masks use the full plane extents)."""
+    masks use the full plane extents).  With ``row_offset`` the row masks
+    use GLOBAL row indices (halo-extended bands/shards)."""
     nx2, ny2 = shape
     ri = lax.broadcasted_iota(jnp.int32, shape, 0)
     ci = lax.broadcasted_iota(jnp.int32, shape, 1)
-    in_r = ri < (nx - 1)
+    gri = ri if row_offset is None else ri + row_offset
+    in_r = gri < (nx - 1)
     in_c = ci < (ny - 1)
-    region = (ri < nx) & (ci < ny)
+    region = (gri < nx) & (ci < ny)
+    if row_offset is not None:
+        in_r &= gri >= 0
+        region &= gri >= 0
 
     def dx(u):
-        return jnp.where(in_r, roll(u, nx2 - 1, 0) - u, 0.0)
+        return jnp.where(in_r, roll(u, shape[0] - 1, 0) - u, 0.0)
 
     def dy(u):
         return jnp.where(in_c, roll(u, ny2 - 1, 1) - u, 0.0)
 
     def dxt(p):
-        lead = jnp.where(ri > 0, roll(p, 1, 0), 0.0)
+        lead = jnp.where(gri > 0, roll(p, 1, 0), 0.0)
         return jnp.where(region, lead - jnp.where(in_r, p, 0.0), 0.0)
 
     def dyt(p):
@@ -130,13 +144,32 @@ def _grad_ops(shape, nx, ny, roll):
 
 
 def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, yv0, qx0, qy0,
-                fb, sv, count, nx, ny, taps, sig_q, tau_t, roll):
+                fb, sv, count, nx, ny, taps, sig_q, tau_t, roll,
+                halo_ctx=None):
     """``count - 1`` plain iterations then the aligned iteration with its
     four preconditioned residual norms (squared), all on VMEM-resident
-    embedded planes.  Mirrors fused_rof._chunk_core."""
+    embedded planes.  Mirrors fused_rof._chunk_core.
+
+    halo_ctx = (row_offset, own_lo, own_hi): run on a halo-extended row
+    band/shard of the (nx2, ny2) geometry — all masks use global rows,
+    norms cover owned local rows only.  The required halo width is
+    (2*count + 2) * max(kx - 1, 1) rows (deblur_halo_rows): each operator
+    application spreads garbage by the conv's row reach, not 1."""
     shape = fb.shape
-    conv_fwd, conv_adj, _ = _conv_ops(shape, nx, ny, taps, roll)
-    gops = _grad_ops(shape, nx, ny, roll)
+    if halo_ctx is not None:
+        row_offset, own_lo, own_hi = halo_ctx
+        conv_fwd, conv_adj, _ = _conv_ops(shape, nx, ny, taps, roll,
+                                          row_offset)
+        gops = _grad_ops(shape, nx, ny, roll, row_offset)
+        lri = lax.broadcasted_iota(jnp.int32, shape, 0)
+        owned = (lri >= own_lo) & (lri < own_hi)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+    else:
+        conv_fwd, conv_adj, _ = _conv_ops(shape, nx, ny, taps, roll)
+        gops = _grad_ops(shape, nx, ny, roll)
+        nsum = jnp.sum
     _dx, _dy, _dxt, _dyt = gops
 
     tau_s = tau_raw * tau_t            # tau * Tau
@@ -192,10 +225,10 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, yv0, qx0, qy0,
     dd = wh + sqrt_t * kty2
 
     norms = (
-        jnp.sum(pd_v * pd_v) + jnp.sum(pd_x * pd_x) + jnp.sum(pd_y * pd_y),
-        jnp.sum(zh_v * zh_v) + jnp.sum(zh_x * zh_x) + jnp.sum(zh_y * zh_y),
-        jnp.sum(dd * dd),
-        jnp.sum(wh * wh),
+        nsum(pd_v * pd_v) + nsum(pd_x * pd_x) + nsum(pd_y * pd_y),
+        nsum(zh_v * zh_v) + nsum(zh_x * zh_x) + nsum(zh_y * zh_y),
+        nsum(dd * dd),
+        nsum(wh * wh),
     )
     return x2, yv2, qx2, qy2, x, yv, qx, qy, norms
 
@@ -204,16 +237,23 @@ def _deblur_chunk_kernel(scal_ref, x_ref, yv_ref, q_ref, f_ref, sv_ref,
                          xo_ref, yvo_ref, qo_ref,
                          xpo_ref, yvpo_ref, qpo_ref, norms_ref, *,
                          count: int, nx: int, ny: int, taps, sig_q: float,
-                         tau_t: float):
+                         tau_t: float, halo: bool = False):
     """One residual_iter-sized chunk in ONE kernel, residual norms reduced
-    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, lmb, radius]."""
+    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, lmb, radius] — with
+    ``halo``, three more entries [row_offset, own_lo, own_hi] and the refs
+    are one band's halo-EXTENDED planes."""
     from jax.experimental.pallas import tpu as pltpu
 
+    halo_ctx = None
+    if halo:
+        halo_ctx = (scal_ref[5].astype(jnp.int32),
+                    scal_ref[6].astype(jnp.int32),
+                    scal_ref[7].astype(jnp.int32))
     q = q_ref[...]
     (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         x_ref[...], yv_ref[...], q[0], q[1], f_ref[...], sv_ref[...],
-        count, nx, ny, taps, sig_q, tau_t, pltpu.roll)
+        count, nx, ny, taps, sig_q, tau_t, pltpu.roll, halo_ctx=halo_ctx)
     for i in range(4):
         norms_ref[i] = norms[i]
     xo_ref[...] = x2
@@ -226,20 +266,19 @@ def _deblur_chunk_kernel(scal_ref, x_ref, yv_ref, q_ref, f_ref, sv_ref,
     qpo_ref[1] = qyp
 
 
-def deblur_fused_chunk(x, yv, q, fb, sv, tau, sigma, theta, lmb, radius,
-                       count, nx, ny, taps, sig_q, tau_t,
-                       interpret: bool = False):
-    """``count`` fused iterations ending on a residual iteration.  All
-    plane arguments are (nx2, ny2)-embedded (q is (2, nx2, ny2)).  Returns
-    (x2, yv2, q2, x_prev, yv_prev, q_prev, norms2)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    scal = jnp.stack([
+def _deblur_scal(x, tau, sigma, theta, lmb, radius):
+    return jnp.stack([
         jnp.asarray(tau, x.dtype), jnp.asarray(sigma, x.dtype),
         jnp.asarray(theta, x.dtype),
         jnp.asarray(lmb, x.dtype), jnp.asarray(radius, x.dtype),
     ])
+
+
+def _deblur_pallas_call(scal, x, yv, q, fb, sv, count, nx, ny, taps, sig_q,
+                        tau_t, halo, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     plane = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
@@ -247,7 +286,7 @@ def deblur_fused_chunk(x, yv, q, fb, sv, tau, sigma, theta, lmb, radius,
     out_shape.append(jax.ShapeDtypeStruct((4,), x.dtype))
     return pl.pallas_call(
         partial(_deblur_chunk_kernel, count=int(count), nx=nx, ny=ny,
-                taps=taps, sig_q=sig_q, tau_t=tau_t),
+                taps=taps, sig_q=sig_q, tau_t=tau_t, halo=halo),
         out_shape=out_shape,
         in_specs=[smem] + [plane] * 5,
         out_specs=[plane] * 6 + [smem],
@@ -256,9 +295,102 @@ def deblur_fused_chunk(x, yv, q, fb, sv, tau, sigma, theta, lmb, radius,
     )(scal, x, yv, q, fb, sv)
 
 
+def deblur_fused_chunk(x, yv, q, fb, sv, tau, sigma, theta, lmb, radius,
+                       count, nx, ny, taps, sig_q, tau_t,
+                       interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration.  All
+    plane arguments are (nx2, ny2)-embedded (q is (2, nx2, ny2)).  Returns
+    (x2, yv2, q2, x_prev, yv_prev, q_prev, norms2)."""
+    scal = _deblur_scal(x, tau, sigma, theta, lmb, radius)
+    return _deblur_pallas_call(scal, x, yv, q, fb, sv, count, nx, ny, taps,
+                               sig_q, tau_t, False, interpret)
+
+
+def deblur_halo_rows(count: int, taps) -> int:
+    """Halo width for banding/sharding the deblur chunk: each operator
+    application spreads information by the conv's row reach (max tap row
+    offset, >= the gradient's 1), and a count-iteration chunk applies
+    2*count + 2 operators along the row axis."""
+    reach = max(max(dx for dx, _, _ in taps), 1)
+    return (2 * int(count) + 2) * reach
+
+
+def deblur_fused_chunk_halo(x, yv, q, fb, sv, scal, count, nx, ny, taps,
+                            sig_q, tau_t, interpret: bool = False):
+    """``count`` fused iterations on one halo-extended row band/shard of
+    the (nx2, ny2) geometry; scal = [tau, sigma, theta, lmb, radius,
+    row_offset, own_lo, own_hi].  Norms cover owned rows only."""
+    return _deblur_pallas_call(scal, x, yv, q, fb, sv, count, nx, ny, taps,
+                               sig_q, tau_t, True, interpret)
+
+
+def deblur_fused_chunk_tiled(x, yv, q, fb, sv, tau, sigma, theta, lmb,
+                             radius, count, nx, ny, taps, sig_q, tau_t,
+                             n_bands: int, interpret: bool = False):
+    """Row-band tiled chunk over the (nx2, ny2) rows (cf.
+    fused_rof.rof_fused_chunk_tiled) with the conv-width halo
+    (deblur_halo_rows).  nx2 need not divide n_bands evenly — the last
+    band may be shorter (a second kernel shape)."""
+    nx2, ny2 = x.shape
+    halo = deblur_halo_rows(count, taps)
+    rows = -(-nx2 // n_bands)  # ceil
+
+    def pad(a):
+        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
+        return jnp.pad(a, cfg)
+
+    planes = tuple(pad(a) for a in (x, yv, q, fb, sv))
+    base = _deblur_scal(x, tau, sigma, theta, lmb, radius)
+    outs, heights = [], []
+    for i in range(n_bands):
+        lo = i * rows
+        h = min(rows, nx2 - lo)
+        if h <= 0:
+            break
+        heights.append(h)
+        sl = slice(lo, lo + h + 2 * halo)
+        scal = jnp.concatenate([
+            base, jnp.asarray([lo - halo, halo, halo + h], x.dtype),
+        ])
+        band = tuple(a[:, sl] if a.ndim == 3 else a[sl] for a in planes)
+        outs.append(deblur_fused_chunk_halo(
+            band[0], band[1], band[2], band[3], band[4], scal, count,
+            nx, ny, taps, sig_q, tau_t, interpret=interpret))
+
+    def cat(j):
+        parts = []
+        for o, h in zip(outs, heights):
+            a = o[j]
+            own = slice(halo, halo + h)
+            parts.append(a[:, own] if a.ndim == 3 else a[own])
+        return jnp.concatenate(parts, axis=-2)
+
+    norms2 = sum(o[6] for o in outs)
+    return cat(0), cat(1), cat(2), cat(3), cat(4), cat(5), norms2
+
+
 def deblur_fits_vmem(nx2: int, ny2: int, itemsize: int = 4) -> bool:
     """~18 live (nx2, ny2) planes must fit the raised VMEM limit."""
     return 18 * nx2 * ny2 * itemsize <= _VMEM_LIMIT
+
+
+def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
+                      itemsize: int = 4):
+    """Row-band tiling factor over the full-conv rows: smallest band count
+    whose halo-extended bands keep ~18 live planes under the VMEM limit;
+    1 = whole plane, None = no efficient tiling (halo wider than bands —
+    the conv reach multiplies the halo, so large kernels + large
+    residual_iter tile poorly; lower residual_iter helps)."""
+    if deblur_fits_vmem(nx2, ny2, itemsize):
+        return 1
+    halo = deblur_halo_rows(max(int(residual_iter), 1), taps)
+    for n_bands in range(2, nx2 + 1):
+        rows = -(-nx2 // n_bands)
+        if rows < halo:
+            return None
+        if 18 * (rows + 2 * halo) * ny2 * itemsize <= _VMEM_LIMIT:
+            return n_bands
+    return None
 
 
 def _kernel_taps(kernel):
@@ -375,8 +507,8 @@ def match_deblur_structure(problem, prox_g, prox_fstar):
     sg = sl[m2:]
     if not np.allclose(sg, sg[0]):
         return None
-    if not deblur_fits_vmem(conv.nx2, conv.ny2):
-        return None
+    # no VMEM gate here (structure matching only) — callers pick the
+    # whole-plane, tiled (deblur_band_count), or halo-sharded kernel
     return {
         "nx": nx, "ny": ny, "nx2": conv.nx2, "ny2": conv.ny2,
         "taps": taps, "fb": fb,
@@ -395,10 +527,10 @@ def _embed(plane, nx2, ny2):
 
 
 @partial(jax.jit,
-         static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
-         donate_argnums=(16,))
+         static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
+         donate_argnums=(17,))
 def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
-                      taps, sig_q, tau_t, lmb, interpret,
+                      taps, sig_q, tau_t, lmb, n_bands, interpret,
                       tols, fb, sv, radius, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation via residual_and_adapt) ->
@@ -414,9 +546,15 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
         x = _embed(s.x.reshape(nx, ny), nx2, ny2)
         yv = s.y[:m2].reshape(nx2, ny2)
         q = _embed(s.y[m2:].reshape(2, nx, ny), nx2, ny2)
-        x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk(
-            x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
-            ri, nx, ny, taps, sig_q, tau_t, interpret=interpret)
+        if n_bands == 1:
+            x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk(
+                x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
+                ri, nx, ny, taps, sig_q, tau_t, interpret=interpret)
+        else:
+            x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_tiled(
+                x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
+                ri, nx, ny, taps, sig_q, tau_t, n_bands,
+                interpret=interpret)
         norms = jnp.sqrt(norms2)
 
         def unpack(xe, yve, qe):

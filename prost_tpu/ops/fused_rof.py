@@ -624,15 +624,32 @@ class FusedROFPDHG(BackendPDHG):
                 else:
                     self.ml["n_bands"] = nb
         if usable and self.rof is None and self.ml is None:
-            from .fused_deblur import match_deblur_structure
+            from .fused_deblur import (deblur_band_count,
+                                       match_deblur_structure)
 
             self.deblur = match_deblur_structure(
                 problem, self.prox_g, self.prox_fstar)
+            if self.deblur is not None:
+                nb = deblur_band_count(
+                    self.deblur["nx2"], self.deblur["ny2"],
+                    opts.residual_iter, self.deblur["taps"])
+                if nb is None:
+                    self.deblur = None
+                else:
+                    self.deblur["n_bands"] = nb
         self.tight = None
         if usable and not (self.rof or self.ml or self.deblur):
-            from .fused_tight import match_tight_structure
+            from .fused_tight import match_tight_structure, tight_band_count
 
             self.tight = match_tight_structure(problem)
+            if self.tight is not None:
+                nb = tight_band_count(
+                    self.tight["nx"], self.tight["ny"], self.tight["L"],
+                    self.tight["k"], opts.residual_iter)
+                if nb is None:
+                    self.tight = None
+                else:
+                    self.tight["n_bands"] = nb
         if ((self.rof or self.ml or self.deblur or self.tight)
                 and self.solver_opts.verbose):
             kind = ("ROF" if self.rof
@@ -673,7 +690,8 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_deblur_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     d["nx"], d["ny"], d["nx2"], d["ny2"], d["taps"],
-                    d["sig_q"], d["tau_t"], d["lmb"], self.interpret,
+                    d["sig_q"], d["tau_t"], d["lmb"], d["n_bands"],
+                    self.interpret,
                     tols, d["fb"], d["sv"],
                     jnp.asarray(d["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -685,7 +703,7 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_tight_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     t["nx"], t["ny"], t["L"], t["k"],
-                    (t["taps"], t["consts"]), self.interpret,
+                    (t["taps"], t["consts"]), t["n_bands"], self.interpret,
                     tols, t["f"],
                     (jnp.asarray(t["radius"], jnp.float32),
                      jnp.asarray(t["d_s"], jnp.float32)),

@@ -75,13 +75,28 @@ def _kron_ops(taps, nrows_out, ncols_out):
 
 
 def _chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, v0, q0, p0, s0,
-                f, count, L, k, taps, consts, roll):
+                f, count, L, k, taps, consts, roll, halo_ctx=None):
     """``count - 1`` plain iterations then the aligned iteration with its
     four preconditioned residual norms (squared).  ``consts`` =
     (sig_q, sig_p, sig_s, tau_u, tau_v) — the constant per-segment
-    preconditioner diagonals."""
+    preconditioner diagonals.
+
+    halo_ctx = (row_offset, nx_global, own_lo, own_hi): run on a
+    halo-extended row band/shard — stencil masks use global rows, norms
+    cover owned rows only (the kron taps and the per-pixel ball are
+    pointwise, so like fused_multilabel the halo is 2*count + 2 rows)."""
     sig_q_c, sig_p_c, sig_s_c, tau_u_c, tau_v_c = consts
-    ops = _shift_ops_3d(f.shape, roll)
+    if halo_ctx is not None:
+        row_offset, nx_global, own_lo, own_hi = halo_ctx
+        ops = _shift_ops_3d(f.shape, roll, row_offset, nx_global)
+        lri = lax.broadcasted_iota(jnp.int32, f.shape[1:], 0)
+        owned2 = (lri >= own_lo) & (lri < own_hi)
+
+        def nsum(val):
+            return jnp.sum(jnp.where(owned2, val, 0.0))
+    else:
+        ops = _shift_ops_3d(f.shape, roll)
+        nsum = jnp.sum
     _dx, _dy, _dxt, _dyt = ops
     kp_fwd, kp_adj = _kron_ops(taps, 2 * L, 2 * k)
 
@@ -146,25 +161,34 @@ def _chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, v0, q0, p0, s0,
     dd_v = wh_v + sqrt_tv * ktyv2
 
     norms = (
-        jnp.sum(pd_q * pd_q) + jnp.sum(pd_p * pd_p) + jnp.sum(pd_s * pd_s),
-        jnp.sum(zh_q * zh_q) + jnp.sum(zh_p * zh_p) + jnp.sum(zh_s * zh_s),
-        jnp.sum(dd_u * dd_u) + jnp.sum(dd_v * dd_v),
-        jnp.sum(wh_u * wh_u) + jnp.sum(wh_v * wh_v),
+        nsum(pd_q * pd_q) + nsum(pd_p * pd_p) + nsum(pd_s * pd_s),
+        nsum(zh_q * zh_q) + nsum(zh_p * zh_p) + nsum(zh_s * zh_s),
+        nsum(dd_u * dd_u) + nsum(dd_v * dd_v),
+        nsum(wh_u * wh_u) + nsum(wh_v * wh_v),
     )
     return (u2, v2, q2, p2, s2), (u, v, q, p, s), norms
 
 
 def _tight_chunk_kernel(scal_ref, u_ref, v_ref, q_ref, p_ref, s_ref, f_ref,
                         uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,
-                        norms_ref, *, count, L, k, taps, consts):
+                        norms_ref, *, count, L, k, taps, consts,
+                        halo: bool = False, nx_global: int = 0):
     """One residual_iter-sized chunk in ONE kernel, residual norms reduced
-    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, radius, d_s]."""
+    to SMEM.  scal_ref (SMEM): [tau, sigma, theta, radius, d_s] — with
+    ``halo``, three more entries [row_offset, own_lo, own_hi] and the refs
+    are one band's halo-EXTENDED planes."""
     from jax.experimental.pallas import tpu as pltpu
 
+    halo_ctx = None
+    if halo:
+        halo_ctx = (scal_ref[5].astype(jnp.int32), nx_global,
+                    scal_ref[6].astype(jnp.int32),
+                    scal_ref[7].astype(jnp.int32))
     new, prev, norms = _chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         u_ref[...], v_ref[...], q_ref[...], p_ref[...], s_ref[...],
-        f_ref[...], count, L, k, taps, consts, pltpu.roll)
+        f_ref[...], count, L, k, taps, consts, pltpu.roll,
+        halo_ctx=halo_ctx)
     for i in range(4):
         norms_ref[i] = norms[i]
     for ref, val in zip((uo, vo, qo, po, so), new):
@@ -173,41 +197,114 @@ def _tight_chunk_kernel(scal_ref, u_ref, v_ref, q_ref, p_ref, s_ref, f_ref,
         ref[...] = val
 
 
-def tight_fused_chunk(u, v, q, p, s, f, tau, sigma, theta, radius, d_s,
-                      count, taps, consts, interpret: bool = False):
-    """``count`` fused iterations ending on a residual iteration.  Returns
-    (new_state_tuple, prev_state_tuple, norms2)."""
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    L = u.shape[0]
-    k = v.shape[0] // 2
-    scal = jnp.stack([
+def _tight_scal(u, tau, sigma, theta, radius, d_s):
+    return jnp.stack([
         jnp.asarray(tau, u.dtype), jnp.asarray(sigma, u.dtype),
         jnp.asarray(theta, u.dtype),
         jnp.asarray(radius, u.dtype), jnp.asarray(d_s, u.dtype),
     ])
+
+
+def _tight_pallas_call(scal, state, f, count, L, k, taps, consts, halo,
+                       nx_global, interpret):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
     plane = pl.BlockSpec(memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    state = (u, v, q, p, s)
     out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                  for a in state + state]
-    out_shape.append(jax.ShapeDtypeStruct((4,), u.dtype))
+    out_shape.append(jax.ShapeDtypeStruct((4,), state[0].dtype))
     outs = pl.pallas_call(
         partial(_tight_chunk_kernel, count=int(count), L=L, k=k,
-                taps=taps, consts=consts),
+                taps=taps, consts=consts, halo=halo,
+                nx_global=int(nx_global)),
         out_shape=out_shape,
         in_specs=[smem] + [plane] * 6,
         out_specs=[plane] * 10 + [smem],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, u, v, q, p, s, f)
+    )(scal, *state, f)
     return outs[:5], outs[5:10], outs[10]
+
+
+def tight_fused_chunk(u, v, q, p, s, f, tau, sigma, theta, radius, d_s,
+                      count, taps, consts, interpret: bool = False):
+    """``count`` fused iterations ending on a residual iteration.  Returns
+    (new_state_tuple, prev_state_tuple, norms2)."""
+    L = u.shape[0]
+    k = v.shape[0] // 2
+    scal = _tight_scal(u, tau, sigma, theta, radius, d_s)
+    return _tight_pallas_call(scal, (u, v, q, p, s), f, count, L, k, taps,
+                              consts, False, 0, interpret)
+
+
+def tight_fused_chunk_halo(u, v, q, p, s, f, scal, count, nx_global, taps,
+                           consts, interpret: bool = False):
+    """``count`` fused iterations on one halo-extended band/shard; scal is
+    the length-8 vector [tau, sigma, theta, radius, d_s, row_offset,
+    own_lo, own_hi].  Norms cover owned rows only."""
+    L = u.shape[0]
+    k = v.shape[0] // 2
+    return _tight_pallas_call(scal, (u, v, q, p, s), f, count, L, k, taps,
+                              consts, True, nx_global, interpret)
+
+
+def tight_fused_chunk_tiled(u, v, q, p, s, f, tau, sigma, theta, radius,
+                            d_s, count, taps, consts, n_bands: int,
+                            interpret: bool = False):
+    """Row-band tiled chunk for planes too large for VMEM (cf.
+    fused_rof.rof_fused_chunk_tiled): each band runs the halo kernel with
+    a (2*count + 2)-row halo; owned rows are bit-identical to the
+    whole-plane kernel and the owned-row norms sum to the global norms."""
+    L, nx, ny = u.shape
+    halo = 2 * int(count) + 2
+    rows = nx // n_bands
+    assert rows * n_bands == nx
+
+    def pad(a):
+        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
+        return jnp.pad(a, cfg)
+
+    planes = tuple(pad(a) for a in (u, v, q, p, s, f))
+    base = _tight_scal(u, tau, sigma, theta, radius, d_s)
+    outs = []
+    for i in range(n_bands):
+        sl = slice(i * rows, i * rows + rows + 2 * halo)
+        scal = jnp.concatenate([
+            base,
+            jnp.asarray([i * rows - halo, halo, halo + rows], u.dtype),
+        ])
+        band = tuple(a[:, sl] if a.ndim == 3 else a[sl] for a in planes)
+        outs.append(tight_fused_chunk_halo(
+            *band[:5], band[5], scal, count, nx, taps, consts,
+            interpret=interpret))
+
+    own = slice(halo, halo + rows)
+
+    def cat(tuples, j):
+        parts = [(t[j][:, own] if t[j].ndim == 3 else t[j][own])
+                 for t in tuples]
+        return jnp.concatenate(parts, axis=1 if parts[0].ndim == 3 else 0)
+
+    new = tuple(cat([o[0] for o in outs], j) for j in range(5))
+    prev = tuple(cat([o[1] for o in outs], j) for j in range(5))
+    norms2 = sum(o[2] for o in outs)
+    return new, prev, norms2
 
 
 def tight_fits_vmem(nx, ny, L, k, itemsize: int = 4) -> bool:
     """~(10L + 14k + 8) live planes must fit in the raised VMEM limit."""
     return (10 * L + 14 * k + 8) * nx * ny * itemsize <= _VMEM_LIMIT
+
+
+def tight_band_count(nx, ny, L, k, residual_iter, itemsize: int = 4):
+    """Row-band tiling factor (cf. fused_rof.band_count); 1 = whole
+    plane, None = no efficient tiling."""
+    from .fused_rof import band_count
+
+    return band_count(nx, ny, residual_iter,
+                      n_planes=10 * L + 14 * k + 8, itemsize=itemsize)
 
 
 def _segment_const(arr):
@@ -332,17 +429,18 @@ def match_tight_structure(problem):
     )
     if any(c is None for c in consts):
         return None
-    if not tight_fits_vmem(nx, ny, L, k):
-        return None
+    # no VMEM gate here (structure matching only) — callers pick the
+    # whole-plane, tiled (tight_band_count), or halo-sharded kernel
     return {
         "nx": nx, "ny": ny, "L": L, "k": k, "taps": taps, "f": f,
         "radius": radius, "d_s": d_s, "consts": consts,
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(13,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(14,))
 def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
-                     taps_consts, interpret,
+                     taps_consts, n_bands, interpret,
                      tols, f_planes, scal_extra, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
@@ -364,9 +462,15 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
         q = st.y[: 2 * nL].reshape(2 * L, nx, ny)
         p = st.y[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny)
         sm = st.y[2 * nL + nk2:].reshape(nx, ny)
-        new, prev, norms2 = tight_fused_chunk(
-            u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
-            radius, d_s, ri, taps, consts, interpret=interpret)
+        if n_bands == 1:
+            new, prev, norms2 = tight_fused_chunk(
+                u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
+                radius, d_s, ri, taps, consts, interpret=interpret)
+        else:
+            new, prev, norms2 = tight_fused_chunk_tiled(
+                u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
+                radius, d_s, ri, taps, consts, n_bands,
+                interpret=interpret)
         norms = jnp.sqrt(norms2)
 
         def pack(t):

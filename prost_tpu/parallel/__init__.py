@@ -22,7 +22,9 @@ package is the TPU-native capability it lacks:
 from .ensemble import BatchedPDHG, stack_problems
 from .mesh import make_mesh
 from .spatial import ShardedPDHG
-from .spatial_fused import ShardedFusedMultilabel, ShardedFusedROF
+from .spatial_fused import (ShardedFusedDeblur, ShardedFusedMultilabel,
+                            ShardedFusedROF, ShardedFusedTight)
 
 __all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG",
-           "ShardedFusedROF", "ShardedFusedMultilabel"]
+           "ShardedFusedROF", "ShardedFusedMultilabel", "ShardedFusedTight",
+           "ShardedFusedDeblur"]

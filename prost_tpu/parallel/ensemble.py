@@ -64,6 +64,12 @@ class BatchedPDHG:
         self.axis_name = axis_name
         self.batch = len(problems)
         self.interpret = interpret
+        if mesh is not None and self.batch % mesh.devices.size != 0:
+            raise ProstError(
+                f"BatchedPDHG: batch size {self.batch} must be divisible "
+                f"by the mesh's {mesh.devices.size} devices (the batch "
+                "axis is sharded evenly over the mesh)."
+            )
 
         backends = [
             BackendPDHG(p, self.opts, self.solver_opts) for p in problems
@@ -89,11 +95,6 @@ class BatchedPDHG:
 
         usable = (jax.default_backend() != "cpu") or interpret
         if not usable or self.opts.stepsize == "alg2":
-            return None
-        if self.mesh is not None and self.mesh.devices.size > 1:
-            # multi-device meshes stay on the generic vmapped path: the
-            # SPMD partitioner cannot split a Pallas custom call's grid
-            # axis across devices (shard_map integration is future work)
             return None
         ms = [match_rof_structure(p) for p in problems]
         if any(m is None for m in ms):
@@ -143,7 +144,7 @@ class BatchedPDHG:
             try:
                 return _batched_fused_rof_run(
                     self.opts, r["nx"], r["ny"], r["dataterm"],
-                    self.interpret,
+                    self.mesh, self.axis_name, self.interpret,
                     self.batched_problem, self.prox_g, self.prox_fstar,
                     r["f"], r["w"], r["lmb"], r["radius"],
                     state, jnp.asarray(until_iter, jnp.int32), tols,
@@ -188,20 +189,46 @@ def _batched_pdhg_run(opts, batched_problem, prox_g, prox_fstar, state,
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4), donate_argnums=(12,))
-def _batched_fused_rof_run(opts, nx, ny, dataterm, interpret,
-                           batched_problem, prox_g, prox_fstar,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6), donate_argnums=(14,))
+def _batched_fused_rof_run(opts, nx, ny, dataterm, mesh, axis_name,
+                           interpret, batched_problem, prox_g, prox_fstar,
                            f, w, lmb, radius, state, until, tols):
     """Batched analog of fused_rof._fused_rof_run: the vmapped Pallas chunk
     kernel runs every instance as one grid step (per-instance step sizes
     travel in the per-grid-step SMEM scalar vector).  Converged instances
-    keep iterating until all converge, matching _batched_pdhg_run."""
+    keep iterating until all converge, matching _batched_pdhg_run.
+
+    On a multi-device mesh the kernel call runs under shard_map over the
+    batch axis: each device's kernel grid covers its local B/n_devices
+    instances, with ZERO collectives inside the chunk (instances are
+    independent; only the loop's convergence test all-reduces).  This is
+    BASELINE config 5's multi-host path at full fused single-chip speed.
+    """
     import dataclasses
+
+    from jax.sharding import PartitionSpec as P
 
     from ..backend.pdhg import residual_and_adapt
     from ..ops.fused_rof import rof_fused_chunk_batched
 
     ri = max(int(opts.residual_iter), 1)
+
+    def raw_chunk(x, q, ff, ww, scal):
+        return rof_fused_chunk_batched(x, q, ff, ww, scal, ri,
+                                       dataterm=dataterm,
+                                       interpret=interpret)
+
+    if mesh is not None and mesh.devices.size > 1:
+        bspec = P(axis_name)
+        sspec = P(None, axis_name)  # (5, B) / (4, B) instances-minor
+        chunk_call = jax.shard_map(
+            raw_chunk, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, bspec, sspec),
+            out_specs=(bspec, bspec, bspec, bspec, sspec),
+            check_vma=False,
+        )
+    else:
+        chunk_call = raw_chunk
 
     def step_one(problem, pg, pf, s):
         return pdhg_step(problem, pg, pf, opts, tols, s)
@@ -224,8 +251,7 @@ def _batched_fused_rof_run(opts, nx, ny, dataterm, interpret,
             [s.tau, s.sigma, s.theta,
              jnp.broadcast_to(lmb, (B,)), jnp.broadcast_to(radius, (B,))],
             axis=0)
-        x2, q2, xp, qp, norms2 = rof_fused_chunk_batched(
-            x, q, f, w, scal, ri, dataterm=dataterm, interpret=interpret)
+        x2, q2, xp, qp, norms2 = chunk_call(x, q, f, w, scal)
         norms = jnp.sqrt(norms2)
         s = dataclasses.replace(
             s,

@@ -298,6 +298,375 @@ def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
     return lax.while_loop(cond_c, generic, state)
 
 
+class ShardedFusedTight(BackendPDHG):
+    """Halo-sharded fused backend for the tight multilabel relaxation
+    (ops/fused_tight.py): pixel rows partitioned over ``axis_name``, one
+    2-ppermute halo exchange of the (L + 2k + 2L + 2k + 1 + L) planes'
+    boundary rows plus one 4-scalar psum per residual_iter chunk."""
+
+    def __init__(self, problem, opts, solver_opts, mesh,
+                 axis_name: str = "sp", interpret: bool = False):
+        super().__init__(problem, opts, solver_opts)
+        from ..ops.fused_tight import match_tight_structure, tight_fits_vmem
+
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.interpret = interpret
+        self.tight = match_tight_structure(problem)
+        if self.tight is None:
+            raise ProstError(
+                "ShardedFusedTight: problem does not match the fused "
+                "tight-multilabel structure; use ShardedPDHG instead."
+            )
+        self.n_shards = mesh.shape[axis_name]
+        t = self.tight
+        nx, ny, L, k = t["nx"], t["ny"], t["L"], t["k"]
+        ri = max(int(opts.residual_iter), 1)
+        self.halo = 2 * ri + 2
+        if nx % self.n_shards:
+            raise ProstError(
+                f"ShardedFusedTight: nx={nx} not divisible by "
+                f"{self.n_shards} shards."
+            )
+        self.shard_rows = nx // self.n_shards
+        if self.shard_rows < self.halo:
+            raise ProstError(
+                f"ShardedFusedTight: shard height {self.shard_rows} < halo "
+                f"{self.halo}; lower residual_iter or use fewer shards."
+            )
+        if not tight_fits_vmem(self.shard_rows + 2 * self.halo, ny, L, k):
+            raise ProstError(
+                "ShardedFusedTight: one halo-extended shard block exceeds "
+                "the VMEM budget; use more shards."
+            )
+
+    def _shard(self, state):
+        vec = NamedSharding(self.mesh, P(self.axis_name))
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, vec if leaf.ndim else rep),
+            state,
+        )
+
+    def initial_state(self) -> PDHGState:
+        return self._shard(super().initial_state())
+
+    def run(self, state: PDHGState, until_iter: int) -> PDHGState:
+        sopts = self.solver_opts
+        tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
+                sopts.tol_abs_primal, sopts.tol_abs_dual)
+        t = self.tight
+        return _sharded_fused_tight_run(
+            self.problem, self.prox_g, self.prox_fstar, self.opts,
+            t["nx"], t["ny"], t["L"], t["k"], (t["taps"], t["consts"]),
+            self.mesh, self.axis_name, self.halo, self.interpret,
+            tols, t["f"],
+            (jnp.asarray(t["radius"], jnp.float32),
+             jnp.asarray(t["d_s"], jnp.float32)),
+            state, jnp.asarray(until_iter, jnp.int32),
+        )
+
+
+def _halo_chunk_tight(u, v, q, p, s, f, scal5, *, axis, n_shards, halo, nx,
+                      ri, taps, consts, interpret):
+    """Per-shard tight chunk body (inside shard_map)."""
+    from ..ops.fused_tight import tight_fused_chunk_halo
+
+    rows = u.shape[1]
+    row_offset = lax.axis_index(axis) * rows - halo
+    scal8 = jnp.concatenate([
+        scal5,
+        jnp.stack([
+            row_offset.astype(scal5.dtype),
+            jnp.asarray(halo, scal5.dtype),
+            jnp.asarray(halo + rows, scal5.dtype),
+        ]),
+    ])
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    new, prev, norms2 = tight_fused_chunk_halo(
+        ext(u), ext(v), ext(q), ext(p), ext(s), ext(f), scal8, ri, nx,
+        taps, consts, interpret=interpret)
+    own = slice(halo, halo + rows)
+
+    def crop(a):
+        return a[:, own] if a.ndim == 3 else a[own]
+
+    return (tuple(crop(a) for a in new), tuple(crop(a) for a in prev),
+            lax.psum(norms2, axis))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+         donate_argnums=(16,))
+def _sharded_fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
+                             k, taps_consts, mesh, axis, halo, interpret,
+                             tols, f_planes, scal_extra, state, until):
+    """Same three-phase structure as fused_tight._fused_tight_run, with
+    the chunk under shard_map."""
+    taps, consts = taps_consts
+    radius, d_s = scal_extra
+    ri = max(int(opts.residual_iter), 1)
+    n_shards = mesh.shape[axis]
+    n = nx * ny
+    nL = n * L
+    nk2 = 2 * n * k
+
+    lspec = P(None, axis, None)
+    pspec = P(axis, None)
+    body = partial(_halo_chunk_tight, axis=axis, n_shards=n_shards,
+                   halo=halo, nx=nx, ri=ri, taps=taps, consts=consts,
+                   interpret=interpret)
+    state5 = (lspec, lspec, lspec, lspec, pspec)
+    sharded_chunk = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=state5 + (lspec, P()),
+        out_specs=(state5, state5, P()),
+        check_vma=False,
+    )
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(st: PDHGState) -> PDHGState:
+        u = st.x[:nL].reshape(L, nx, ny)
+        v = st.x[nL:].reshape(2 * k, nx, ny)
+        q = st.y[: 2 * nL].reshape(2 * L, nx, ny)
+        p = st.y[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny)
+        sm = st.y[2 * nL + nk2:].reshape(nx, ny)
+        scal5 = jnp.stack([
+            st.tau, st.sigma, st.theta,
+            radius.astype(st.tau.dtype), d_s.astype(st.tau.dtype),
+        ])
+        new, prev, norms2 = sharded_chunk(u, v, q, p, sm, f_planes, scal5)
+        norms = jnp.sqrt(norms2)
+
+        def pack(t):
+            uu, vv, qq, pp, ss = t
+            return (
+                jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
+                jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
+                                 ss.reshape(-1)]),
+            )
+
+        x_new, y_new = pack(new)
+        xp_new, yp_new = pack(prev)
+        st = dataclasses.replace(
+            st, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+        st = residual_and_adapt(
+            problem, opts, tols, st,
+            norms[0], norms[1], norms[2], norms[3],
+            st.iteration + ri - 1,
+        )
+        return dataclasses.replace(st, iteration=st.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+class ShardedFusedDeblur(BackendPDHG):
+    """Halo-sharded fused backend for the TV-deblurring structure
+    (ops/fused_deblur.py): the (nx2, ny2) full-conv rows partitioned over
+    ``axis_name``.  The conv taps widen the halo to
+    (2*ri + 2) * max(kx - 1, 1) rows (deblur_halo_rows), so prefer a
+    small residual_iter when sharding blurry kernels."""
+
+    def __init__(self, problem, opts, solver_opts, mesh,
+                 axis_name: str = "sp", interpret: bool = False):
+        super().__init__(problem, opts, solver_opts)
+        from ..ops.fused_deblur import (deblur_fits_vmem, deblur_halo_rows,
+                                        match_deblur_structure)
+
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.interpret = interpret
+        self.deblur = match_deblur_structure(problem, self.prox_g,
+                                             self.prox_fstar)
+        if self.deblur is None:
+            raise ProstError(
+                "ShardedFusedDeblur: problem does not match the fused "
+                "deblurring structure; use ShardedPDHG instead."
+            )
+        self.n_shards = mesh.shape[axis_name]
+        d = self.deblur
+        ri = max(int(opts.residual_iter), 1)
+        self.halo = deblur_halo_rows(ri, d["taps"])
+        if d["nx2"] % self.n_shards:
+            raise ProstError(
+                f"ShardedFusedDeblur: nx2={d['nx2']} not divisible by "
+                f"{self.n_shards} shards."
+            )
+        self.shard_rows = d["nx2"] // self.n_shards
+        if self.shard_rows < self.halo:
+            raise ProstError(
+                f"ShardedFusedDeblur: shard height {self.shard_rows} < halo "
+                f"{self.halo} (= (2*residual_iter + 2) * conv row reach); "
+                "lower residual_iter or use fewer shards."
+            )
+        if not deblur_fits_vmem(self.shard_rows + 2 * self.halo, d["ny2"]):
+            raise ProstError(
+                "ShardedFusedDeblur: one halo-extended shard block exceeds "
+                "the VMEM budget; use more shards."
+            )
+
+    def _shard(self, state):
+        vec = NamedSharding(self.mesh, P(self.axis_name))
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, vec if leaf.ndim else rep),
+            state,
+        )
+
+    def initial_state(self) -> PDHGState:
+        return self._shard(super().initial_state())
+
+    def run(self, state: PDHGState, until_iter: int) -> PDHGState:
+        sopts = self.solver_opts
+        tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
+                sopts.tol_abs_primal, sopts.tol_abs_dual)
+        d = self.deblur
+        return _sharded_fused_deblur_run(
+            self.problem, self.prox_g, self.prox_fstar, self.opts,
+            d["nx"], d["ny"], d["nx2"], d["ny2"], d["taps"],
+            d["sig_q"], d["tau_t"], d["lmb"],
+            self.mesh, self.axis_name, self.halo, self.interpret,
+            tols, d["fb"], d["sv"],
+            jnp.asarray(d["radius"], jnp.float32),
+            state, jnp.asarray(until_iter, jnp.int32),
+        )
+
+
+def _halo_chunk_deblur(x, yv, q, fb, sv, scal5, *, axis, n_shards, halo,
+                       nx, ny, ri, taps, sig_q, tau_t, interpret):
+    """Per-shard deblur chunk body (inside shard_map)."""
+    from ..ops.fused_deblur import deblur_fused_chunk_halo
+
+    rows = x.shape[0]
+    row_offset = lax.axis_index(axis) * rows - halo
+    scal8 = jnp.concatenate([
+        scal5,
+        jnp.stack([
+            row_offset.astype(scal5.dtype),
+            jnp.asarray(halo, scal5.dtype),
+            jnp.asarray(halo + rows, scal5.dtype),
+        ]),
+    ])
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_halo(
+        ext(x), ext(yv), ext(q), ext(fb), ext(sv), scal8, ri, nx, ny,
+        taps, sig_q, tau_t, interpret=interpret)
+    own = slice(halo, halo + rows)
+    return (x2[own], yv2[own], q2[:, own], xp[own], yvp[own], qp[:, own],
+            lax.psum(norms2, axis))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
+                                  15),
+         donate_argnums=(19,))
+def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
+                              nx2, ny2, taps, sig_q, tau_t, lmb,
+                              mesh, axis, halo, interpret,
+                              tols, fb, sv, radius, state, until):
+    """Same three-phase structure as fused_deblur._fused_deblur_run, with
+    the chunk under shard_map."""
+    from ..ops.fused_deblur import _embed
+
+    ri = max(int(opts.residual_iter), 1)
+    n_shards = mesh.shape[axis]
+    n = nx * ny
+    m2 = nx2 * ny2
+
+    pspec = P(axis, None)
+    qspec = P(None, axis, None)
+    body = partial(_halo_chunk_deblur, axis=axis, n_shards=n_shards,
+                   halo=halo, nx=nx, ny=ny, ri=ri, taps=taps, sig_q=sig_q,
+                   tau_t=tau_t, interpret=interpret)
+    sharded_chunk = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, pspec, qspec, pspec, pspec, P()),
+        out_specs=(pspec, pspec, qspec, pspec, pspec, qspec, P()),
+        check_vma=False,
+    )
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(s: PDHGState) -> PDHGState:
+        x = _embed(s.x.reshape(nx, ny), nx2, ny2)
+        yv = s.y[:m2].reshape(nx2, ny2)
+        q = _embed(s.y[m2:].reshape(2, nx, ny), nx2, ny2)
+        scal5 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, s.tau.dtype), radius.astype(s.tau.dtype),
+        ])
+        x2, yv2, q2, xp, yvp, qp, norms2 = sharded_chunk(
+            x, yv, q, fb, sv, scal5)
+        norms = jnp.sqrt(norms2)
+
+        def unpack(xe, yve, qe):
+            return (
+                xe[:nx, :ny].reshape(-1),
+                jnp.concatenate([yve.reshape(-1),
+                                 qe[:, :nx, :ny].reshape(-1)]),
+            )
+
+        x_new, y_new = unpack(x2, yv2, q2)
+        xp_new, yp_new = unpack(xp, yvp, qp)
+        s = dataclasses.replace(
+            s, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)
+
+
 def _halo_chunk(x_loc, q_loc, f_loc, w_loc, scal5, *, axis, n_shards, halo,
                 nx, ri, dataterm, interpret):
     """Per-shard chunk body (inside shard_map): halo exchange, fused kernel

@@ -122,3 +122,83 @@ def test_fused_deblur_full_solve_converges():
         prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True), sopts)
     res = solver.solve()
     assert res.result == pt.ConvergenceResult.CONVERGED
+
+
+@pytest.mark.parametrize("n_bands", [2, 3])
+def test_deblur_tiled_chunk_bit_equal_to_whole_plane(n_bands):
+    """Row-band tiled deblur chunk == whole-plane chunk on owned rows.
+    The conv taps widen the halo (deblur_halo_rows); nx2 need not divide
+    n_bands (n_bands=3 exercises the shorter last band)."""
+    from prost_tpu.ops.fused_deblur import (deblur_fused_chunk,
+                                            deblur_fused_chunk_tiled,
+                                            match_deblur_structure)
+
+    nx, ny, k = 28, 12, 3
+    prob, _ = deblur_problem(nx, ny, lmb=25.0, seed=2, k=k)
+    b = BackendPDHG(prob, PDHGOptions(scale_steps_operator=False), _opts())
+    m = match_deblur_structure(prob, b.prox_g, b.prox_fstar)
+    assert m is not None
+    nx2, ny2 = m["nx2"], m["ny2"]
+    ri = 2
+    rng = np.random.RandomState(12)
+
+    def emb(a):
+        out = np.zeros(a.shape[:-2] + (nx2, ny2), np.float32)
+        out[..., :nx, :ny] = a
+        return jnp.asarray(out)
+
+    x = emb(rng.rand(nx, ny).astype(np.float32))
+    q = emb(0.2 * rng.randn(2, nx, ny).astype(np.float32))
+    yv = jnp.asarray(0.1 * rng.randn(nx2, ny2), jnp.float32)
+    args = (0.9, 1.1, 1.0, m["lmb"], m["radius"])
+
+    ref = deblur_fused_chunk(x, yv, q, m["fb"], m["sv"], *args, ri,
+                             nx, ny, m["taps"], m["sig_q"], m["tau_t"],
+                             interpret=True)
+    til = deblur_fused_chunk_tiled(x, yv, q, m["fb"], m["sv"], *args, ri,
+                                   nx, ny, m["taps"], m["sig_q"],
+                                   m["tau_t"], n_bands, interpret=True)
+    for a, b_ in zip(ref[:6], til[:6]):
+        # ulp-level: interpret-mode XLA contracts FMAs differently for
+        # the band shapes (observed max 1 ulp on 1/420 elements)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(til[6]),
+                               rtol=1e-5, atol=1e-10)
+
+
+def test_deblur_tiled_end_to_end_matches_generic():
+    prob, _ = deblur_problem(20, 12, lmb=25.0, seed=3, k=3)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=2,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 21)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.deblur is not None
+    fus.deblur["n_bands"] = 2  # force the tiled path
+    fs = fus.run(fus.initial_state(), 21)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_fused_deblur_matches_generic():
+    from prost_tpu.parallel import ShardedFusedDeblur, make_mesh
+
+    # nx2 = 30 + 3 - 1 = 32 -> 2 shards of 16 rows >= halo 12
+    prob, _ = deblur_problem(30, 12, lmb=25.0, seed=4, k=3)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=2,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 21)
+
+    mesh = make_mesh((2,), axis_names=("sp",))
+    sh = ShardedFusedDeblur(prob, popts, _opts(), mesh, interpret=True)
+    assert sh.halo == (2 * 2 + 2) * 2
+    ss = sh.run(sh.initial_state(), 21)
+
+    assert int(ss.iteration) == int(gs.iteration) == 21
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)

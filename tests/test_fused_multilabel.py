@@ -114,7 +114,7 @@ def test_ml_tiled_chunk_bit_equal_to_whole_plane(n_bands):
     for a, b in zip(ref[:6], til[:6]):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(til[6]),
-                               rtol=1e-5)
+                               rtol=1e-5, atol=1e-10)
 
 
 def test_ml_tiled_end_to_end_matches_generic():

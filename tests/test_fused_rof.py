@@ -192,7 +192,7 @@ def test_tiled_chunk_bit_equal_to_whole_plane(n_bands):
     # norms: per-band partial sums reduce in a different order than the
     # whole-plane reduction -> f32 rounding only
     np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(til[4]),
-                               rtol=1e-5)
+                               rtol=1e-5, atol=1e-10)
 
 
 def test_tiled_end_to_end_matches_generic():

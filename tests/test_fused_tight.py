@@ -126,3 +126,73 @@ def test_fused_tight_full_solve_converges():
         prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True), sopts)
     res = solver.solve()
     assert res.result == pt.ConvergenceResult.CONVERGED
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_tight_tiled_chunk_bit_equal_to_whole_plane(n_bands):
+    """Row-band tiled tight chunk == whole-plane chunk, bit-for-bit on
+    owned rows (cf. test_fused_rof.py)."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_tight import (match_tight_structure,
+                                           tight_fused_chunk,
+                                           tight_fused_chunk_tiled)
+
+    nx, ny, L = 32, 16, 3
+    k = L * (L - 1) // 2
+    prob = tight_problem(nx, ny, L=L, lmb=0.8, seed=4)
+    m = match_tight_structure(prob)
+    assert m is not None
+    ri = 4
+    rng = np.random.RandomState(10)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    v = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    p = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, m["radius"], m["d_s"])
+
+    ref = tight_fused_chunk(u, v, q, p, s, m["f"], *args, ri,
+                            m["taps"], m["consts"], interpret=True)
+    til = tight_fused_chunk_tiled(u, v, q, p, s, m["f"], *args, ri,
+                                  m["taps"], m["consts"], n_bands,
+                                  interpret=True)
+    for a, b in zip(ref[0] + ref[1], til[0] + til[1]):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(til[2]),
+                               rtol=1e-5, atol=1e-10)
+
+
+def test_tight_tiled_end_to_end_matches_generic():
+    prob = tight_problem(16, 12, L=3, lmb=0.8, seed=5)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=3,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.tight is not None
+    fus.tight["n_bands"] = 2  # force the tiled path on a small plane
+    fs = fus.run(fus.initial_state(), 31)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_fused_tight_matches_generic():
+    from prost_tpu.parallel import ShardedFusedTight, make_mesh
+
+    prob = tight_problem(32, 12, L=3, lmb=0.8, seed=6)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=3,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    mesh = make_mesh((4,), axis_names=("sp",))
+    sh = ShardedFusedTight(prob, popts, _opts(), mesh, interpret=True)
+    ss = sh.run(sh.initial_state(), 31)
+
+    assert int(ss.iteration) == int(gs.iteration) == 31
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)

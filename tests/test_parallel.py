@@ -155,3 +155,57 @@ def test_batched_fused_matches_generic_vmap():
                                rtol=1e-6)
     for a, b in zip(fus.current_solution(fs), gen.current_solution(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_batched_fused_multidevice_shard_map():
+    """Multi-device ensembles keep the fused Pallas path (BASELINE config
+    5's whole point): the batched chunk kernel runs under shard_map over
+    'dp', each device's grid covering its local instances, bit-compatible
+    with the 1-device fused path."""
+    from prost_tpu.parallel import make_mesh
+
+    nx = ny = 16
+    n = nx * ny
+    rng = np.random.RandomState(8)
+    problems = [rof_problem(nx, ny, rng.rand(n).astype(np.float32),
+                            float(lmb))
+                for lmb in (4.0, 6.0, 8.0, 12.0, 16.0, 24.0, 32.0, 48.0)]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0, tol_rel_dual=0,
+                             tol_abs_primal=0, tol_abs_dual=0)
+
+    one = BatchedPDHG(problems, popts, sopts, interpret=True)
+    assert one.rof is not None
+    os_ = one.run(one.initial_state(), 31)
+
+    mesh = make_mesh((4,), axis_names=("dp",))
+    multi = BatchedPDHG(problems, popts, sopts, mesh=mesh, interpret=True)
+    assert multi.rof is not None  # fused path must survive the mesh
+    ms = multi.run(multi.initial_state(), 31)
+
+    np.testing.assert_array_equal(np.asarray(ms.iteration), 31)
+    np.testing.assert_allclose(np.asarray(ms.x), np.asarray(os_.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ms.y), np.asarray(os_.y),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ms.tau), np.asarray(os_.tau),
+                               rtol=1e-6)
+
+
+def test_batched_indivisible_batch_raises():
+    """B not divisible by the mesh size cannot be sharded evenly -> a
+    clear ProstError at construction (device_put would fail obscurely)."""
+    import pytest
+
+    from prost_tpu.config import ProstError
+    from prost_tpu.parallel import make_mesh
+
+    nx = ny = 8
+    n = nx * ny
+    rng = np.random.RandomState(9)
+    problems = [rof_problem(nx, ny, rng.rand(n).astype(np.float32), 8.0)
+                for _ in range(3)]
+    mesh = make_mesh((2,), axis_names=("dp",))
+    with pytest.raises(ProstError):
+        BatchedPDHG(problems, mesh=mesh, interpret=True)
