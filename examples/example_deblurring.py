@@ -102,7 +102,7 @@ def run(size=128, max_iters=25000, verbose=True):
         print(f"solved in {dt:.3f}s, {res.iterations} its, {res.result.value}")
         print(f"energy = {energy:.6f}")
     return {"u": u.val, "f": f, "f_blurred": f_blurred, "energy": energy,
-            "iterations": res.iterations}
+            "iterations": res.iterations, "lmb": lmb, "kernel": kernel}
 
 
 def main():

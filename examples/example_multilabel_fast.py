@@ -77,7 +77,7 @@ def run(size=64, L=8, max_iters=5000, verbose=True):
         print(f"solved in {dt:.3f}s, {res.iterations} its, {res.result.value}")
         print(f"per-pixel label sums: min={labels.sum(0).min():.4f} "
               f"max={labels.sum(0).max():.4f}")
-    return {"u": u.val, "labels": labels, "f": f,
+    return {"u": u.val, "labels": labels, "f": f, "lmb": lmb,
             "iterations": res.iterations, "result": res.result}
 
 

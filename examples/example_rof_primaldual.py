@@ -79,7 +79,8 @@ def run(size=128, max_iters=10000, gap_tol=1e-5, verbose=True):
               f"({res.iterations / dt:.1f} it/s)")
         print(f"result: {res.result.value}, final gap/px = {(ep - ed) / n:.3e}")
     return {"u": u.val, "gap_per_px": (ep - ed) / n, "energy": ep,
-            "iterations": res.iterations, "seconds": dt}
+            "iterations": res.iterations, "seconds": dt,
+            "f": f, "lmb": lmb}
 
 
 def main():

@@ -65,7 +65,7 @@ def run(size=128, max_iters=50000, verbose=True):
         print(f"solved in {dt:.3f}s, {res.iterations} its, {res.result.value}")
         print(f"energy_pd = {energy:.6f}")
     return {"u": u.val, "f": f, "mask": m, "energy": energy,
-            "iterations": res.iterations}
+            "iterations": res.iterations, "lmb": lmb}
 
 
 def main():
