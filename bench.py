@@ -82,15 +82,29 @@ def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square"):
     return FusedROFPDHG(prob, _pdhg_opts(), _solver_opts()), prob
 
 
+def _cow_image(nx, ny):
+    """The committed cow.png fixture (data/make_fixtures.py) resized —
+    BASELINE config 3 is "8 labels on cow.png"
+    (example_multilabel_fast.m:7-12)."""
+    from PIL import Image
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "data", "cow.png")
+    im = Image.open(path).convert("L").resize((ny, nx), Image.BILINEAR)
+    return (np.asarray(im, np.float32) / 255.0)
+
+
 def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
-    """Fast multilabel relaxation (BASELINE config 3); routed through the
-    fused Pallas multilabel kernel (ops/fused_multilabel) on TPU."""
+    """Fast multilabel relaxation on the cow fixture (BASELINE config 3:
+    8 labels on cow.png); routed through the fused Pallas multilabel
+    kernel (ops/fused_multilabel) on TPU."""
     import prost_tpu as pt
     from prost_tpu import block, function
     from prost_tpu.ops import FusedROFPDHG
 
     n = nx * ny
-    gray = _test_image(nx, ny, seed)
+    gray = _cow_image(nx, ny)
     means = np.linspace(0, 1, L)
     f = np.stack([(gray - m) ** 2 for m in means], axis=0).reshape(-1)
     f = f.astype(np.float32)

@@ -1,15 +1,39 @@
 """Shared helpers for the example scripts.
 
 The reference examples load images from its images/ directory; these
-examples are self-contained: they synthesize piecewise-smooth test images
-(same role as lion.png / junction_gray.png etc.), and every script accepts
---size / --cpu so the same code runs as a quick CPU demo or a full-size TPU
-workload.
+examples ship a committed procedural fixture (``data/cow.png``, generated
+by data/make_fixtures.py — same role and geometry as the reference's
+cow.png, the BASELINE config 3 subject) and also synthesize
+piecewise-smooth test images (same role as lion.png / junction_gray.png
+etc.).  Every script accepts --size / --cpu so the same code runs as a
+quick CPU demo or a full-size TPU workload.
 """
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "..", "data")
+
+
+def load_fixture_image(name="cow", size=None, gray=True):
+    """Load a committed fixture image (data/<name>.png) as float in
+    [0, 1], shape (ny, nx) when gray else (ny, nx, 3).  ``size`` resizes
+    to (size, size).  Matches the role of the reference's
+    imread('images/cow.png') (example_multilabel_fast.m:7-12)."""
+    from PIL import Image
+
+    im = Image.open(os.path.join(_DATA_DIR, f"{name}.png"))
+    if gray:
+        im = im.convert("L")
+    else:
+        im = im.convert("RGB")
+    if size is not None:
+        im = im.resize((size, size), Image.BILINEAR)
+    return np.asarray(im, np.float64) / 255.0
 
 
 def synthetic_image(ny, nx, nc=1, seed=42):

@@ -21,7 +21,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, force_cpu, synthetic_image
+from _common import add_std_args, force_cpu, load_fixture_image, synthetic_image
 
 
 def unaries(im, L):
@@ -34,14 +34,21 @@ def unaries(im, L):
     return f.transpose(0, 2, 1).reshape(-1)  # l outermost, then x, then y
 
 
-def run(size=64, L=8, max_iters=5000, verbose=True):
+def run(size=64, L=8, max_iters=5000, verbose=True, image=None):
+    """image="cow" segments the committed cow.png fixture (resized to
+    size x size) — the BASELINE config 3 workload, 8 labels on cow.png
+    (example_multilabel_fast.m:7-12); image=None keeps the synthetic
+    test image."""
     import prost_tpu as pt
     from prost_tpu import block, function
 
     ny = nx = size
     n = nx * ny
     lmb = 0.5
-    im = synthetic_image(ny, nx, 1)
+    if image is not None:
+        im = load_fixture_image(image, size=size)[..., None]
+    else:
+        im = synthetic_image(ny, nx, 1)
     f = unaries(im, L)
 
     u = pt.Variable(n * L)
@@ -84,10 +91,15 @@ def run(size=64, L=8, max_iters=5000, verbose=True):
 def main():
     ap = add_std_args(argparse.ArgumentParser(), size=64)
     ap.add_argument("--labels", type=int, default=8)
+    ap.add_argument("--image", type=str, default="cow",
+                    help="fixture image name (data/<name>.png) or "
+                         "'synthetic'")
     args = ap.parse_args()
     if args.cpu:
         force_cpu()
-    run(size=args.size, L=args.labels, max_iters=args.max_iters or 5000)
+    image = None if args.image == "synthetic" else args.image
+    run(size=args.size, L=args.labels, max_iters=args.max_iters or 5000,
+        image=image)
     return 0
 
 

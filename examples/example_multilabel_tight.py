@@ -17,7 +17,7 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, force_cpu, synthetic_image
+from _common import add_std_args, force_cpu, load_fixture_image, synthetic_image
 from example_multilabel_fast import unaries
 
 
@@ -37,7 +37,7 @@ def pair_local_matrix(L):
     return P
 
 
-def run(size=48, L=3, max_iters=20000, verbose=True):
+def run(size=48, L=3, max_iters=20000, verbose=True, image=None):
     import prost_tpu as pt
     from prost_tpu import block, function
 
@@ -45,7 +45,10 @@ def run(size=48, L=3, max_iters=20000, verbose=True):
     n = nx * ny
     lmb = 1.0
     k = L * (L - 1) // 2
-    im = synthetic_image(ny, nx, 1)
+    if image is not None:
+        im = load_fixture_image(image, size=size)[..., None]
+    else:
+        im = synthetic_image(ny, nx, 1)
     f = unaries(im, L)
     P = pair_local_matrix(L)
 
@@ -91,10 +94,15 @@ def run(size=48, L=3, max_iters=20000, verbose=True):
 def main():
     ap = add_std_args(argparse.ArgumentParser(), size=48)
     ap.add_argument("--labels", type=int, default=3)
+    ap.add_argument("--image", type=str, default="cow",
+                    help="fixture image name (data/<name>.png) or "
+                         "'synthetic'")
     args = ap.parse_args()
     if args.cpu:
         force_cpu()
-    run(size=args.size, L=args.labels, max_iters=args.max_iters or 20000)
+    image = None if args.image == "synthetic" else args.image
+    run(size=args.size, L=args.labels, max_iters=args.max_iters or 20000,
+        image=image)
     return 0
 
 

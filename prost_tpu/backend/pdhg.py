@@ -21,12 +21,22 @@ formulas re-derived from backend_pdhg.cu:73-120):
     w_hat = (x^k - x^{k+1})/(tau sqrt(Tau)) - sqrt(Tau) K^T y^k
     dual_residual = || w_hat + sqrt(Tau) K^T y^{k+1} ||,   dual_var_norm = ||w_hat||
 
-One deliberate deviation: the reference computes the dual residual *before*
-refreshing K^T y (backend_pdhg.cu:372-380), so its w-side quantities lag an
-iteration; here K^T y^{k+1} is computed first and the residual uses
-mathematically consistent iterates.  Warm starts likewise initialize
-kx = K x0 and kty = K^T y0 (the reference leaves them zero for one
-iteration, backend_pdhg.cu:288-308).
+One deliberate deviation (default mode): the reference computes the dual
+residual *before* refreshing K^T y (backend_pdhg.cu:372-380), so its
+w-side quantities lag an iteration; here K^T y^{k+1} is computed first and
+the residual uses mathematically consistent iterates.  Warm starts
+likewise initialize kx = K x0 and kty = K^T y0 (the reference leaves them
+zero for one iteration, backend_pdhg.cu:288-308).
+
+``PDHGOptions.reference_residuals = True`` reproduces the reference's
+EXACT sequence instead, for A/B trajectory validation: the dual residual
+uses the stale K^T y^{k-1} / K^T y^k pair (backend_pdhg.cu:420-431 feeds
+kty_prev_/kty_ before the swap at :377-380), and the previous iterates
+rotate EVERY iteration (the swaps at :331/:344/:366/:377) rather than
+only at residual iterations — so goldstein/boyd adaptation decisions,
+and hence whole trajectories, match the reference step for step.  The
+fused Pallas paths compute consistent-mode norms in-kernel, so this flag
+routes matched problems through the generic path.
 
 Step-size schemes (backend_pdhg.hpp:41-54):
   alg1       constant tau/sigma, theta = 1
@@ -67,6 +77,9 @@ class PDHGOptions:
     arb_delta: float = 1.05
     arb_tau: float = 0.8
     stepsize: str = "boyd"  # alg1 | alg2 | goldstein | boyd
+    # reproduce the reference's exact residual sequence (stale-kty dual
+    # residual + every-iteration prev rotation) — see module docstring
+    reference_residuals: bool = False
 
 
 @pytree_dataclass
@@ -320,24 +333,53 @@ def pdhg_step(problem, prox_g, prox_fstar, opts: PDHGOptions, tols, state):
             s, x=x_new, y=y_new, kx=kx_new, kty=kty_new,
         )
 
-        # Residuals + step adaptation every residual_iter iterations.
-        # The previous iterates feed ONLY the residual formulas, so they
-        # are persisted into the state only inside this branch: on the
-        # other (residual_iter - 1)/residual_iter iterations the *_prev
-        # buffers pass through the loop carry untouched (free in XLA's
-        # donated while-loop buffers), halving the per-iteration HBM
-        # writes vs. the reference's always-rotate scheme
-        # (backend_pdhg.cu:374 swaps every iteration).
         ri = max(int(opts.residual_iter), 1)
         do_res = (s.iteration % ri == 0)
 
-        def with_prevs(q: PDHGState) -> PDHGState:
-            q = dataclasses.replace(
-                q, x_prev=s.x, y_prev=s.y, kx_prev=s.kx, kty_prev=s.kty,
+        if opts.reference_residuals:
+            # reference-exact sequence: prevs rotate EVERY iteration
+            # (backend_pdhg.cu:331/:344/:366/:377) and the dual residual
+            # uses the stale pair (K^T y^{k-1}, K^T y^k) because the
+            # reference computes residuals before refreshing kty
+            # (:372-380).  s.kty_prev is K^T y^{k-1} thanks to the
+            # rotation; s.kty is K^T y^k.
+            new = dataclasses.replace(
+                new, x_prev=s.x, y_prev=s.y, kx_prev=s.kx, kty_prev=s.kty,
             )
-            return compute_residuals(q)
 
-        new = lax.cond(do_res, with_prevs, lambda q: q, new)
+            def ref_residuals(q: PDHGState) -> PDHGState:
+                z_hat = (q.y_prev - q.y) / (q.sigma * sqrt_S) + sqrt_S * (
+                    (1.0 + q.theta) * q.kx - q.theta * q.kx_prev
+                )
+                p_diff = z_hat - sqrt_S * q.kx
+                w_hat = (q.x_prev - q.x) / (q.tau * sqrt_T) \
+                    - sqrt_T * s.kty_prev
+                d_diff = w_hat + sqrt_T * s.kty
+                return residual_and_adapt(
+                    problem, opts, tols, q,
+                    jnp.linalg.norm(p_diff), jnp.linalg.norm(z_hat),
+                    jnp.linalg.norm(d_diff), jnp.linalg.norm(w_hat),
+                    q.iteration,
+                )
+
+            new = lax.cond(do_res, ref_residuals, lambda q: q, new)
+        else:
+            # Default mode: residuals + step adaptation every
+            # residual_iter iterations from CONSISTENT iterates.  The
+            # previous iterates feed ONLY the residual formulas, so they
+            # are persisted into the state only inside this branch: on
+            # the other (residual_iter - 1)/residual_iter iterations the
+            # *_prev buffers pass through the loop carry untouched (free
+            # in XLA's donated while-loop buffers), halving the
+            # per-iteration HBM writes vs. the reference's always-rotate
+            # scheme (backend_pdhg.cu:374 swaps every iteration).
+            def with_prevs(q: PDHGState) -> PDHGState:
+                q = dataclasses.replace(
+                    q, x_prev=s.x, y_prev=s.y, kx_prev=s.kx, kty_prev=s.kty,
+                )
+                return compute_residuals(q)
+
+            new = lax.cond(do_res, with_prevs, lambda q: q, new)
 
         # alg2 acceleration runs every iteration (backend_pdhg.cu:483-488)
         if opts.stepsize == "alg2":

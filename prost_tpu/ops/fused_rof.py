@@ -602,6 +602,9 @@ class FusedROFPDHG(BackendPDHG):
 
         usable = (jax.default_backend() != "cpu") or interpret
         usable = usable and opts.stepsize != "alg2"
+        # the fused kernels compute consistent-mode residual norms; the
+        # reference-exact sequence runs through the generic path
+        usable = usable and not opts.reference_residuals
         self.rof = match_rof_structure(problem) if usable else None
         if self.rof is not None:
             nb = band_count(self.rof["nx"], self.rof["ny"],

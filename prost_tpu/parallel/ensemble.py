@@ -96,6 +96,8 @@ class BatchedPDHG:
         usable = (jax.default_backend() != "cpu") or interpret
         if not usable or self.opts.stepsize == "alg2":
             return None
+        if self.opts.reference_residuals:
+            return None  # fused norms are consistent-mode
         ms = [match_rof_structure(p) for p in problems]
         if any(m is None for m in ms):
             return None

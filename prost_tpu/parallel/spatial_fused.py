@@ -54,6 +54,7 @@ class ShardedFusedROF(BackendPDHG):
     def __init__(self, problem, opts, solver_opts, mesh,
                  axis_name: str = "sp", interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
+        _reject_reference_residuals(opts, "ShardedFusedROF")
         self.mesh = mesh
         self.axis_name = axis_name
         self.interpret = interpret
@@ -112,6 +113,15 @@ class ShardedFusedROF(BackendPDHG):
         )
 
 
+def _reject_reference_residuals(opts, name):
+    if getattr(opts, "reference_residuals", False):
+        raise ProstError(
+            f"{name}: the fused chunk kernels compute consistent-mode "
+            "residual norms; reference_residuals=True requires the "
+            "generic path (BackendPDHG / ShardedPDHG)."
+        )
+
+
 class ShardedFusedMultilabel(BackendPDHG):
     """Halo-sharded fused backend for the fast-multilabel structure
     (ops/fused_multilabel.py), the multilabel analog of ShardedFusedROF:
@@ -123,6 +133,7 @@ class ShardedFusedMultilabel(BackendPDHG):
     def __init__(self, problem, opts, solver_opts, mesh,
                  axis_name: str = "sp", interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
+        _reject_reference_residuals(opts, "ShardedFusedMultilabel")
         from ..ops.fused_multilabel import (match_multilabel_structure,
                                             ml_fits_vmem)
 
@@ -307,6 +318,7 @@ class ShardedFusedTight(BackendPDHG):
     def __init__(self, problem, opts, solver_opts, mesh,
                  axis_name: str = "sp", interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
+        _reject_reference_residuals(opts, "ShardedFusedTight")
         from ..ops.fused_tight import match_tight_structure, tight_fits_vmem
 
         self.mesh = mesh
@@ -494,6 +506,7 @@ class ShardedFusedDeblur(BackendPDHG):
     def __init__(self, problem, opts, solver_opts, mesh,
                  axis_name: str = "sp", interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
+        _reject_reference_residuals(opts, "ShardedFusedDeblur")
         from ..ops.fused_deblur import (deblur_fits_vmem, deblur_halo_rows,
                                         match_deblur_structure)
 
