@@ -295,9 +295,17 @@ def _mass(n, interleaved, conjugate, cost):
 
 
 def ind_range(A, AA=None):
-    """Projection onto range(A): x = A (A^T A)^{-1} A^T y (ind_range.m)."""
+    """Projection onto range(A): x = A (A^T A)^{-1} A^T y (ind_range.m).
+
+    A may be dense (matvecs on the MXU) or scipy.sparse / jax BCOO —
+    sparse A is kept sparse (the reference's contract: 'A must be a
+    sparse matrix', ind_range.m); AA = A^T A may be precomputed."""
     def make(idx, count):
-        Anp = np.asarray(A.toarray() if hasattr(A, "toarray") else A)
+        if hasattr(A, "toarray") or hasattr(A, "indices"):
+            if A.shape[0] != count:
+                raise ProstError("ind_range: A has wrong number of rows.")
+            return ProxIndRange.create(idx, count, A, AA)
+        Anp = np.asarray(A)
         if Anp.shape[0] != count:
             raise ProstError("ind_range: A has wrong number of rows.")
         return ProxIndRange.create(idx, count, Anp, AA)

@@ -379,11 +379,33 @@ register_prox(
         inds2=(None if data["inds2"] is None
                else _wire_arr(data["inds2"], np.int32))),
 )
+def _ind_range_to(p):
+    from jax.experimental import sparse as jsparse
+
+    if isinstance(p.A, jsparse.BCOO):
+        return {"A_sparse": {"data": _enc(np.asarray(p.A.data)),
+                             "indices": _enc(np.asarray(p.A.indices)),
+                             "shape": list(p.A.shape)}}
+    return {"A": _enc(np.asarray(p.A))}
+
+
+def _ind_range_from(idx, size, data, name):
+    if "A_sparse" in data:
+        import scipy.sparse as ssp
+
+        sp = data["A_sparse"]
+        ind = np.asarray(_dec(sp["indices"]))
+        A = ssp.coo_matrix(
+            (np.asarray(_dec(sp["data"])), (ind[:, 0], ind[:, 1])),
+            shape=tuple(sp["shape"]))
+        return ProxIndRange.create(idx, size, A)
+    return ProxIndRange.create(idx, size, np.asarray(_dec(data["A"])))
+
+
 register_prox(
     "ind_range", ProxIndRange,
-    lambda p: {"A": _enc(np.asarray(p.A))},
-    lambda idx, size, data, name: ProxIndRange.create(
-        idx, size, np.asarray(_dec(data["A"]))),
+    _ind_range_to,
+    _ind_range_from,
 )
 register_prox(
     "moreau", ProxMoreau,

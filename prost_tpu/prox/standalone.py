@@ -388,27 +388,50 @@ class ProxIndSum(Prox):
 
 @pytree_dataclass
 class ProxIndRange(Prox):
-    """Projection onto range(A) for a (possibly sparse) matrix A:
+    """Projection onto range(A) for a dense OR sparse matrix A:
     result = A (A^T A)^{-1} A^T arg (prox_ind_range.cu:195-305).
 
-    The reference requires the user to pass AA = A^T A and Cholesky-
-    factorizes it with cuSOLVER; here the factorization is jnp.linalg.cholesky
-    at initialization (the factor is a pytree leaf).  A is stored dense:
-    usage (e.g. DCT bases) has ncols << nrows and the matvec maps onto
-    the MXU.
+    The reference accepts sparse A (cusparse csrmv, prox_ind_range.cu:
+    195-305) and an optional precomputed AA = A^T A which it Cholesky-
+    factorizes with cuSOLVER; here both contracts are kept: pass a
+    scipy.sparse matrix (or a jax BCOO) and the matvecs run as BCOO
+    dot-generals (gather/segment-sum on TPU) with O(nnz + k^2) memory
+    instead of densifying the (size, k) matrix; pass a dense array and
+    the matvecs map onto the MXU (the right call for DCT-like bases with
+    ncols << nrows).  The (k, k) Cholesky factor is computed once at
+    initialization and rides the pytree.
     """
 
     index: int = static_field()
     size: int = static_field()
-    A: jnp.ndarray = None  # (size, k)
+    A: jnp.ndarray = None  # (size, k) dense array or sparse.BCOO
     chol: jnp.ndarray = None  # lower Cholesky factor of A^T A, (k, k)
 
     @staticmethod
     def create(index, size, A, AA=None):
-        A = jnp.asarray(A)
-        if AA is None:
-            AA = A.T @ A
-        chol = jnp.linalg.cholesky(jnp.asarray(AA))
+        from ..config import dtype
+        dt = dtype()
+        try:
+            import scipy.sparse as ssp
+            is_scipy = ssp.issparse(A)
+        except ImportError:  # pragma: no cover
+            is_scipy = False
+        from jax.experimental import sparse as jsparse
+
+        if is_scipy:
+            if AA is None:
+                AA = np.asarray((A.T @ A).todense())
+            B = jsparse.BCOO.from_scipy_sparse(A.tocoo())
+            A = jsparse.BCOO((B.data.astype(dt), B.indices), shape=B.shape)
+        elif isinstance(A, jsparse.BCOO):
+            if AA is None:
+                AA = np.asarray((A.T @ A).todense())
+            A = jsparse.BCOO((A.data.astype(dt), A.indices), shape=A.shape)
+        else:
+            A = jnp.asarray(A, dt)
+            if AA is None:
+                AA = A.T @ A
+        chol = jnp.linalg.cholesky(jnp.asarray(AA, dt))
         return ProxIndRange(index=index, size=size, A=A, chol=chol)
 
     @property

@@ -312,6 +312,46 @@ def test_ind_range():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_ind_range_sparse_matches_dense():
+    """Sparse A (the reference's contract, ind_range.m: 'A must be a
+    sparse matrix') stays sparse (BCOO matvecs around the dense k x k
+    Cholesky) and matches the dense path; precomputed AA honored."""
+    import scipy.sparse as ssp
+    from jax.experimental import sparse as jsparse
+
+    rng = np.random.RandomState(10)
+    size, k = 40, 6
+    As = ssp.random(size, k, density=0.3, random_state=rng, format="csr")
+    As = As + ssp.random(size, k, density=0.05, random_state=rng) * 2.0
+    Ad = np.asarray(As.todense())
+    # ensure full column rank
+    Ad[:k] += np.eye(k)
+    As = ssp.csr_matrix(Ad * (Ad != 0))
+    Ad = np.asarray(As.todense())
+    x0 = rng.randn(size)
+
+    p_dense = ProxIndRange.create(0, size, Ad)
+    p_sparse = ProxIndRange.create(0, size, As)
+    assert isinstance(p_sparse.A, jsparse.BCOO)  # NOT densified
+    got_d = run_prox(p_dense, x0)
+    got_s = run_prox(p_sparse, x0)
+    np.testing.assert_allclose(got_s, got_d, atol=1e-5)
+
+    # precomputed AA (the reference requires it; here optional)
+    p_aa = ProxIndRange.create(0, size, As, AA=(As.T @ As).todense())
+    np.testing.assert_allclose(run_prox(p_aa, x0), got_d, atol=1e-5)
+
+    # wire round trip keeps the sparse representation
+    from prost_tpu.modeling import wire
+    import json
+
+    spec = wire.to_prox_spec(p_sparse)
+    assert "A_sparse" in spec["data"]
+    q = wire.from_prox_spec(json.loads(json.dumps(spec)))
+    assert isinstance(q.A, jsparse.BCOO)
+    np.testing.assert_allclose(run_prox(q, x0), got_d, atol=1e-5)
+
+
 # ---------------------------------------------------------------- properties
 
 @pytest.mark.parametrize("seed", range(5))
