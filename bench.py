@@ -57,7 +57,7 @@ def _test_image(nx, ny, seed=42):
     return (im + 0.05 * rng.randn(nx, ny)).astype(np.float32)
 
 
-def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square"):
+def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square", sopts=None):
     """ROF (square) or TV-L1 (abs) denoising; FusedROFPDHG routes both
     through the fused Pallas chunk kernel (ops/fused_rof) on TPU and falls
     back to the generic XLA path off-TPU."""
@@ -79,7 +79,7 @@ def build_rof(nx, ny, lmb=16.0, seed=42, dataterm="square"):
                        fun="abs", coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
     prox_fstar = [ProxMoreau(index=0, size=2 * n, child=pn)]
     prob = pt.Problem.create(linop, prox_g=prox_g, prox_fstar=prox_fstar)
-    return FusedROFPDHG(prob, _pdhg_opts(), _solver_opts()), prob
+    return FusedROFPDHG(prob, _pdhg_opts(), sopts or _solver_opts()), prob
 
 
 def _cow_image(nx, ny):
@@ -95,7 +95,7 @@ def _cow_image(nx, ny):
     return (np.asarray(im, np.float32) / 255.0)
 
 
-def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
+def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42, sopts=None):
     """Fast multilabel relaxation on the cow fixture (BASELINE config 3:
     8 labels on cow.png); routed through the fused Pallas multilabel
     kernel (ops/fused_multilabel) on TPU."""
@@ -119,10 +119,10 @@ def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42):
     prob.add_function(s, function.sum_1d("zero", 1, 0, 1, 1, 0))
     prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
     prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
-    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), sopts or _solver_opts())
 
 
-def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9):
+def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9, sopts=None):
     """TV deblurring: conv block + gradient block (the full BASELINE
     config 2 workload, example_deblurring.m); routed through the fused
     Pallas deblur kernel (ops/fused_deblur) on TPU."""
@@ -152,10 +152,10 @@ def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9):
     prob.add_function(g, function.sum_norm2(2, False, "abs"))
     prob.add_constraint(u, v, block.conv2d(nx, ny, 1, kern))
     prob.add_constraint(u, g, block.gradient2d(nx, ny, 1))
-    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), sopts or _solver_opts())
 
 
-def build_tight(nx, ny, L=4, lmb=1.0, seed=42):
+def build_tight(nx, ny, L=4, lmb=1.0, seed=42, sopts=None):
     """Tight multilabel relaxation (BASELINE config 3, the heavier
     variant: pairwise multipliers via kron(P^T, I_n) + identity blocks);
     routed through the fused Pallas tight kernel (ops/fused_tight)."""
@@ -191,7 +191,7 @@ def build_tight(nx, ny, L=4, lmb=1.0, seed=42):
     prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
     prob.add_dual_pair(v, p, block.identity())
     prob.add_dual_pair(v, q, block.sparse_kron_id(P.T, n))
-    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), _solver_opts())
+    return FusedROFPDHG(prob.finalize(), _pdhg_opts(), sopts or _solver_opts())
 
 
 def build_ensemble(B, nx, ny, seed=42):
@@ -271,8 +271,8 @@ def measure_backend(backend, short=2000, long_=22000, repeats=3):
     return (long_ - short) / delta
 
 
-def measure_iters_to_gap(nx=512, ny=512, gap_tol=1e-6, check=5000,
-                         max_iters=500_000):
+def measure_iters_to_gap(nx=512, ny=512, lmb=16.0, gap_tol=1e-6,
+                         check=5000, max_iters=500_000):
     """Iterations until the ROF primal-dual gap per pixel falls below
     gap_tol (the BASELINE.md headline: time-to-1e-6 gap on ROF 512x512).
 
@@ -281,13 +281,15 @@ def measure_iters_to_gap(nx=512, ny=512, gap_tol=1e-6, check=5000,
     (prox_{f*} projects onto the unit ball every iteration).  Runs in
     `check`-iteration chunks with one host gap check per chunk.  Returns
     None if max_iters is hit first (f32 gap floor).
+
+    lmb is passed through to build_rof and reused in the energies, so the
+    gap always measures the objective actually being solved.
     """
     import jax.numpy as jnp
 
-    backend, prob = build_rof(nx, ny)
+    backend, prob = build_rof(nx, ny, lmb=lmb)
     n = nx * ny
     f = _test_image(nx, ny).reshape(-1).astype(np.float64)
-    lmb = 16.0
     K = prob.linop
 
     state = backend.initial_state()
@@ -308,10 +310,52 @@ def measure_iters_to_gap(nx=512, ny=512, gap_tol=1e-6, check=5000,
     return None
 
 
+def measure_iters_to_tol(make_backend, tol, check=2000, max_iters=200_000):
+    """Iterations until the backend's own convergence test fires at the
+    given relative+absolute tolerance — the reference's stopping rule
+    (solver.cu:149, eps formulas backend.hpp:71-74).  ``make_backend``
+    receives a SolverOptions carrying the tolerances.  Returns the
+    iteration count or None if max_iters is hit (f32 residual floor)."""
+    import prost_tpu as pt
+
+    sopts = pt.SolverOptions(
+        verbose=False,
+        tol_rel_primal=tol, tol_rel_dual=tol,
+        tol_abs_primal=tol, tol_abs_dual=tol,
+    )
+    backend = make_backend(sopts)
+    state = backend.initial_state()
+    it = 0
+    while it < max_iters:
+        it += check
+        state = backend.run(state, it)
+        done = int(np.asarray(state.iteration))
+        if done < it or bool(np.asarray(state.converged)):
+            return done
+    return None
+
+
 def _extra(metric, value, unit, baseline):
     print(json.dumps({
         "metric": metric, "value": round(value, 1), "unit": unit,
         "vs_baseline": round(value / baseline, 3),
+    }), file=sys.stderr, flush=True)
+
+
+def _time_to_tol(metric, iters, its_per_sec):
+    """Report seconds-to-tolerance: measured iteration count at the
+    reference stopping rule x measured device throughput.  No
+    vs_baseline — it would be algebraically identical to the throughput
+    ratio (same trajectory, reference iteration counts unpublished)."""
+    if iters is None:
+        print(json.dumps({
+            "metric": metric, "value": None, "unit": "s",
+            "note": "tolerance not reached (f32 residual floor)",
+        }), file=sys.stderr, flush=True)
+        return
+    print(json.dumps({
+        "metric": metric, "value": round(iters / its_per_sec, 4),
+        "unit": "s", "iterations": iters,
     }), file=sys.stderr, flush=True)
 
 
@@ -329,32 +373,36 @@ def main(argv):
 
     if run_all:
         # Headline companion metric: time to 1e-6/px primal-dual gap on
-        # ROF 512x512.  Device seconds = iterations-to-gap / measured
-        # throughput (host gap checks are tunnel artifacts, not chip
-        # time); the trajectory is the same algorithm the reference runs,
-        # so the reference's time is iters / ~3000 it/s.  vs_baseline is
-        # reference_time / our_time (> 1 = faster than the reference).
+        # ROF 512x512 (BASELINE.md).  Device seconds = iterations-to-gap
+        # / measured throughput (host gap checks are tunnel artifacts,
+        # not chip time).
         iters_gap = measure_iters_to_gap()
-        if iters_gap is not None:
-            secs = iters_gap / its_per_sec
-            print(json.dumps({
-                "metric": "rof512_seconds_to_gap_1e-6_per_px",
-                "value": round(secs, 3), "unit": "s",
-                "iterations": iters_gap,
-                "vs_baseline": round((iters_gap / baseline) / secs, 3),
-            }), file=sys.stderr, flush=True)
-        # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs path)
+        _time_to_tol("rof512_seconds_to_gap_1e-6_per_px", iters_gap,
+                     its_per_sec)
+        # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs
+        # path).  Reference stopping tolerance: 1e-7 (example_tvl1.m:47-53).
         v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
         _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
+        it = measure_iters_to_tol(
+            lambda so: build_rof(512, 512, lmb=1.0, dataterm="abs",
+                                 sopts=so)[0], 1e-7)
+        _time_to_tol("tvl1_512_seconds_to_tol_1e-7", it, v)
         # TV deblurring 512x512 (full config 2: conv + gradient blocks,
         # fused deblur kernel with the conv as in-kernel shifted-adds).
         # Reference: ~15 kernels/iter incl. two cusparse csrmv over the
         # convmtx2 matrix; ~1500 it/s estimate on prost's target GPUs.
+        # Stopping tolerance: 1e-4 (prost.options defaults, options.m:4-8).
         v = measure_backend(build_deblur(512, 512), short=1000, long_=11000)
         _extra("deblur512_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        it = measure_iters_to_tol(
+            lambda so: build_deblur(512, 512, sopts=so), 1e-4, check=1000,
+            max_iters=100_000)
+        _time_to_tol("deblur512_seconds_to_tol_1e-4", it, v)
         # ADMM on ROF 512x512 (config 4; fused Pallas chunk incl. the
-        # <=10-step CGLS inner loop = ~20 operator applies/iteration).  Reference estimate: ~15 kernels + the cuBLAS CG loop
-        # per iteration, ~600 it/s on prost's target GPUs.
+        # <=10-step CGLS inner loop = ~20 operator applies/iteration).
+        # Reference estimate: ~15 kernels + the cuBLAS CG loop per
+        # iteration, ~600 it/s on prost's target GPUs.  Stopping: 1e-4
+        # (options.m defaults).
         from prost_tpu.backend.admm import ADMMOptions
         from prost_tpu.ops import FusedROFADMM
 
@@ -363,17 +411,35 @@ def main(argv):
                             _solver_opts())
         v = measure_backend(admm, short=500, long_=5500, repeats=2)
         _extra("rof512_admm_iters_per_sec", v, "it/s", 600.0)
-        # multilabel 8 labels 256x256 (config 3; fused multilabel path).
-        # The reference's per-iteration work is ~9x the ROF 512 case per
-        # pixel-label; CUDA estimate ~1500 it/s at this size.
+
+        def make_admm(so):
+            _, p = build_rof(512, 512)
+            return FusedROFADMM(p, ADMMOptions(residual_iter=10), so)
+
+        it = measure_iters_to_tol(make_admm, 1e-4, check=500,
+                                  max_iters=50_000)
+        _time_to_tol("rof512_admm_seconds_to_tol_1e-4", it, v)
+        # multilabel 8 labels 256x256 on the cow fixture (config 3; fused
+        # multilabel path).  The reference's per-iteration work is ~9x the
+        # ROF 512 case per pixel-label; CUDA estimate ~1500 it/s at this
+        # size.  Stopping tolerance: 1e-5 (example_multilabel_fast.m:55-60).
         v = measure_backend(build_multilabel(256, 256, L=8),
                             short=500, long_=5500)
         _extra("multilabel256x8_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        it = measure_iters_to_tol(
+            lambda so: build_multilabel(256, 256, L=8, sopts=so), 1e-5,
+            check=1000, max_iters=100_000)
+        _time_to_tol("multilabel256x8_seconds_to_tol_1e-5", it, v)
         # tight multilabel relaxation 128x128, 4 labels (config 3's
         # heavier variant: 6 pairwise multiplier planes).  Reference
         # estimate ~2000 it/s (13 planes of state, ~12 kernels/iter).
+        # Stopping tolerance: 2e-6 (example_multilabel_tight.m:97-102).
         v = measure_backend(build_tight(128, 128, L=4))
         _extra("tight128x4_pdhg_iters_per_sec", v, "it/s", 2000.0)
+        it = measure_iters_to_tol(
+            lambda so: build_tight(128, 128, L=4, sopts=so), 2e-6,
+            check=2000, max_iters=200_000)
+        _time_to_tol("tight128x4_seconds_to_tol_2e-6", it, v)
         # 1024-instance ROF ensemble at 128x128 (config 5).  Metric:
         # instance-iterations/sec.  The reference runs one instance at a
         # time (~5000 it/s at this launch-bound size), so its
