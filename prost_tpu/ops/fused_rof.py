@@ -34,11 +34,16 @@ Design (TPU-first):
 * The dual planes travel as one (2, nx, ny) ref, so state.y <-> kernel
   views are pure reshapes (no concatenates in the chunk loop).
 
-Whole planes are kept in VMEM (no grid): state+intermediates fit up to
-512x512 f32 under the raised ``vmem_limit_bytes``; larger problems fall
-back to the generic path (`fits_vmem`).  Layout contract matches
-BlockGradient2D with label_first=False and L=1: x viewed (nx, ny),
-y = [gx; gy] stacked planes.
+Whole planes are kept in VMEM (no grid) while state+intermediates fit
+under the raised ``vmem_limit_bytes`` (~1024x1024 f32); larger problems
+run the SAME math through ``rof_fused_chunk_tiled`` — row bands with a
+(2*ri + 2)-row halo through the halo-extended kernel (the sharded path's
+kernel), bit-identical on owned rows — so the fused path never falls off
+a VMEM cliff (``band_count`` picks the tiling; only pathological
+geometries where bands would be thinner than their halo fall back to the
+generic path).  Layout contract matches BlockGradient2D with
+label_first=False and L=1: x viewed (nx, ny), y = [gx; gy] stacked
+planes.
 """
 
 from __future__ import annotations

@@ -1,0 +1,139 @@
+"""Roofline accounting for the fused Pallas chunk kernels.
+
+Per-kernel FLOP and VMEM-traffic counts are derived statically from the
+kernel structure (the per-plane operation lists below mirror the update
+functions in prost_tpu/ops/fused_*.py line by line) and combined with
+measured iteration times (bench.py) into achieved-vs-peak rates.
+
+Peaks (TPU v5e, one chip):
+  * MXU bf16: 197 TFLOP/s (published).  These kernels do not use the MXU
+    (stencil/pointwise work — no contractions), so the relevant ceilings
+    are the VPU and VMEM.
+  * VPU f32: derived from the published MXU number — 197e12 / (4 MXUs x
+    128x128 x 2 flops) = ~1.5 GHz core clock; VPU = (8 sublanes x 128
+    lanes) x 4 ALUs x clock = ~6.2 TFLOP/s f32.  "VPU ops" counts below
+    include rolls (lane shifts) and selects (mask applications), which
+    occupy VPU issue slots without being FLOPs.
+  * VMEM bandwidth: ~20x HBM (scaling-book rule of thumb) = ~16 TB/s.
+    The working set of a 512x512 f32 plane (1 MB) far exceeds vector
+    registers, so every plane-level operation reads/writes VMEM unless
+    Mosaic fuses the expression chain; the plane-touch counts below are
+    the *fused lower bound* (live state reads + output writes only).
+  * HBM 819 GB/s (published) — touched once per residual_iter CHUNK (one
+    load + one store of the state planes), not per iteration: at ri=10,
+    512x512 ROF moves 7 MB per 43 us chunk = 163 GB/s, 20% of HBM peak
+    and fully overlapped; HBM is NOT the bound.  This is the design: the
+    reference streams ~25 MB of HBM per iteration, these kernels per ten.
+
+Usage: python tools/roofline.py [measured_its_per_sec ...]
+(defaults to the round-2 bench measurements recorded in PERFORMANCE.md).
+"""
+
+import sys
+
+VPU_F32_PEAK = 6.2e12   # derived above
+VMEM_BW = 16e12         # ~20x HBM, rule of thumb
+HBM_BW = 819e9
+
+
+def counts_rof(nx, ny):
+    """fused_rof._rof_update, dataterm='square', per pixel per iteration:
+    kty = dxt+dyt+add (2 rolls, 4 selects, 3 arith); arg (2); affine
+    data prox (2); dx+dy of x_new (2 rolls, 2 selects, 2 arith);
+    extrapolated dual args (8); ball projection (6 arith incl. rsqrt);
+    scaled writes (2)."""
+    flops = 31          # arithmetic only
+    vpu_ops = 31 + 4 + 6  # + rolls + selects
+    planes_lb = 11      # reads: x,qx,qy,gx,gy,dt0 | writes: x2,qx2,qy2,gx2,gy2
+    return nx * ny, flops, vpu_ops, planes_lb
+
+
+def counts_ml(nx, ny, L):
+    """fused_multilabel._ml_update per pixel (L labels): label-axis
+    stencil adjoints 8L, positivity prox 3L, stencils 4L, label sum L,
+    dual args 8L, 2L-ball 4L+3, scaled writes 2L, s-update 5."""
+    flops = 30 * L + 8
+    vpu_ops = flops + 6 * L + 8  # rolls + selects across label planes
+    planes_lb = 11 * L + 4
+    return nx * ny, flops, vpu_ops, planes_lb
+
+
+def counts_tight(nx, ny, L, k):
+    """fused_tight update per pixel: ktyu 8L, ktyv 10k, proxes 3L+4k,
+    forward products 4L+L+8k+2L, free dual 8L, pair ball 16k+5."""
+    flops = 26 * L + 38 * k + 5
+    vpu_ops = flops + 6 * L + 4 * k
+    planes_lb = 10 * L + 12 * k + 3
+    return nx * ny, flops, vpu_ops, planes_lb
+
+
+def counts_deblur(nx2, ny2, taps):
+    """fused_deblur update per (nx2, ny2) pixel: conv adjoint 2T+1,
+    gradient adjoints 6, primal 2, conv fwd 2T, stencils 4, conv-dual
+    update 7, ball 14."""
+    flops = 4 * taps + 38
+    vpu_ops = flops + 2 * taps + 8
+    planes_lb = 14
+    return nx2 * ny2, flops, vpu_ops, planes_lb
+
+
+def report(name, px, flops_px, vpu_px, planes_lb, its_per_sec):
+    t_iter = 1.0 / its_per_sec
+    fl = px * flops_px
+    achieved = fl / t_iter
+    vpu_rate = px * vpu_px / t_iter
+    vmem = px * planes_lb * 4 / t_iter
+    print(f"| {name} | {its_per_sec/1e3:.1f}k | {fl/1e6:.1f} MF | "
+          f"{achieved/1e12:.2f} | {100*achieved/VPU_F32_PEAK:.0f}% | "
+          f"{100*vpu_rate/VPU_F32_PEAK:.0f}% | {vmem/1e12:.1f} | "
+          f"{100*vmem/VMEM_BW:.0f}% |")
+
+
+def chunk_decomposition(name, px, planes_in, planes_out, ri, its_per_sec,
+                        t_kernel_profiled=None):
+    """End-to-end chunk time = HBM state movement (whole-plane kernels
+    serialize the in/out DMAs around compute) + in-kernel VPU time +
+    dispatch/XLA glue (reshapes, scalar adaptation, while_loop step)."""
+    t_chunk = ri / its_per_sec
+    hbm_bytes = (planes_in + planes_out) * px * 4
+    t_hbm = hbm_bytes / HBM_BW
+    line = (f"{name}: chunk {1e6*t_chunk:.0f} us = HBM {1e6*t_hbm:.0f} us "
+            f"({hbm_bytes/1e6:.0f} MB @ 819 GB/s)")
+    if t_kernel_profiled is not None:
+        t_glue = t_chunk - t_hbm - t_kernel_profiled
+        line += (f" + in-kernel compute {1e6*t_kernel_profiled:.0f} us "
+                 f"(profiled) + dispatch/glue {1e6*t_glue:.0f} us")
+    print(line)
+
+
+def main(argv):
+    # measured it/s (bench.py on the v5e, 2026-08, round 2); override via args
+    meas = {
+        "rof512": 145600.0,
+        "ml256x8": 76200.0,
+        "tight128x4": 297000.0,
+        "deblur512": 37000.0,
+    }
+    for a in argv:
+        k, v = a.split("=")
+        meas[k] = float(v)
+
+    print("| kernel | it/s | FLOP/iter | TFLOP/s | %VPU(flops) | "
+          "%VPU(ops) | VMEM TB/s (lb) | %VMEM |")
+    print("|---|---|---|---|---|---|---|---|")
+    report("ROF 512x512", *counts_rof(512, 512), meas["rof512"])
+    report("multilabel 256x256x8", *counts_ml(256, 256, 8), meas["ml256x8"])
+    report("tight 128x128x4 (k=6)", *counts_tight(128, 128, 4, 6),
+           meas["tight128x4"])
+    report("deblur 512x512 (T=9)", *counts_deblur(520, 520, 9),
+           meas["deblur512"])
+    print()
+    # ROF chunk: reads x + q(2) + f (w dead for square), writes
+    # x2 + q2(2) + x_prev + q_prev(2); in-kernel 43 us profiled (round 1)
+    chunk_decomposition("ROF 512x512 ri=10", 512 * 512, 4, 6, 10,
+                        meas["rof512"], t_kernel_profiled=43e-6)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
