@@ -135,10 +135,14 @@ def eval_linop(block_factories, x, adjoint=False):
     fn = jax.jit(linop.apply_adjoint if adjoint else linop.apply)
     out = fn(x)
     jax.block_until_ready(out)
+    # average over 5 repeats, matching the reference's timed eval
+    # (linearoperator.cu:177-194)
+    repeats = 5
     t0 = time.perf_counter()
-    out = fn(x)
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) * 1e3
+    for _ in range(repeats):
+        out = fn(x)
+        jax.block_until_ready(out)
+    ms = (time.perf_counter() - t0) * 1e3 / repeats
     return (
         np.asarray(out),
         np.asarray(linop.row_sum(1.0)),
