@@ -34,16 +34,23 @@ def fwd_diff(u, axis):
     return jnp.pad(jnp.diff(u, axis=axis), pad)
 
 
+def _slice_axis(a, axis, start, stop):
+    """Static slice along one axis (lax.slice — unlike jnp.take with an
+    index vector, static slices propagate through GSPMD without
+    degenerating into all-gathers)."""
+    idx = [slice(None)] * a.ndim
+    idx[axis] = slice(start, stop)
+    return a[tuple(idx)]
+
+
 def fwd_diff_adjoint(p, axis):
     """Adjoint of fwd_diff: (D^T p)_i = p_{i-1}[i>0] - p_i[i<n-1]."""
-    n = p.shape[axis]
+    body = _slice_axis(p, axis, 0, p.shape[axis] - 1)
     lead = jnp.pad(
-        jnp.take(p, jnp.arange(0, n - 1), axis=axis),
-        [(1, 0) if a == axis else (0, 0) for a in range(p.ndim)],
+        body, [(1, 0) if a == axis else (0, 0) for a in range(p.ndim)],
     )
     trail = jnp.pad(
-        jnp.take(p, jnp.arange(0, n - 1), axis=axis),
-        [(0, 1) if a == axis else (0, 0) for a in range(p.ndim)],
+        body, [(0, 1) if a == axis else (0, 0) for a in range(p.ndim)],
     )
     return lead - trail
 
@@ -51,7 +58,7 @@ def fwd_diff_adjoint(p, axis):
 def fwd_diff_dirichlet(u, axis):
     """Forward difference with Dirichlet boundary: last entry = -u_last."""
     shifted = jnp.pad(
-        jnp.take(u, jnp.arange(1, u.shape[axis]), axis=axis),
+        _slice_axis(u, axis, 1, u.shape[axis]),
         [(0, 1) if a == axis else (0, 0) for a in range(u.ndim)],
     )
     return shifted - u
@@ -60,7 +67,7 @@ def fwd_diff_dirichlet(u, axis):
 def fwd_diff_dirichlet_adjoint(p, axis):
     """Adjoint of fwd_diff_dirichlet: (D^T p)_i = p_{i-1}[i>0] - p_i."""
     lead = jnp.pad(
-        jnp.take(p, jnp.arange(0, p.shape[axis] - 1), axis=axis),
+        _slice_axis(p, axis, 0, p.shape[axis] - 1),
         [(1, 0) if a == axis else (0, 0) for a in range(p.ndim)],
     )
     return lead - p

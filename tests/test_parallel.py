@@ -209,3 +209,52 @@ def test_batched_indivisible_batch_raises():
     mesh = make_mesh((2,), axis_names=("dp",))
     with pytest.raises(ProstError):
         BatchedPDHG(problems, mesh=mesh, interpret=True)
+
+
+def test_sharded_spatial_collective_counts():
+    """The auto-sharded path's compiled HLO must contain only the designed
+    collectives per iteration: halo exchanges for the two stencil
+    directions (collective-permutes, a small constant count) and the
+    residual-norm all-reduces — no all-gathers rematerializing full
+    vectors (which would mean the sharding propagation failed and the
+    'sharded' path is secretly replicated)."""
+    import re
+
+    import jax
+    from prost_tpu.backend.pdhg import pdhg_step
+    from prost_tpu.parallel import ShardedPDHG, make_mesh
+
+    nx = ny = 32
+    n = nx * ny
+    f = np.random.RandomState(3).rand(n).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 5.0)
+    mesh = make_mesh((8,), axis_names=("sp",))
+    opts = PDHGOptions(scale_steps_operator=False, residual_iter=1)
+    b = ShardedPDHG(prob, opts, _solver_opts(), mesh=mesh)
+    state = b.initial_state()
+
+    tols = (0.0, 0.0, 0.0, 0.0)
+    step = jax.jit(
+        lambda s: pdhg_step(prob, b.prox_g, b.prox_fstar, opts, tols, s))
+    hlo = step.lower(state).compile().as_text()
+
+    n_permute = len(re.findall(r"collective-permute", hlo))
+    n_allgather = len(re.findall(r"\ball-gather", hlo))
+    n_allreduce = len(re.findall(r"\ball-reduce", hlo))
+    # K and K^T each need one halo hop per stencil direction; XLA
+    # splits start/done pairs and may emit per-operand permutes (measured
+    # 19 on the 8-device mesh — exactly why the hand-scheduled
+    # spatial_fused path, 2 ppermutes per CHUNK, exists).  Zero would
+    # mean no sharding happened at all.
+    assert 0 < n_permute <= 24, n_permute
+    # the 4 residual norms + convergence scalars (XLA splits start/done
+    # pairs; measured 13) — generous bound, the guarded regression is
+    # "no collectives at all" / "all-gather replication"
+    assert 0 < n_allreduce <= 24
+    # Remaining all-gathers are the flat-layout reshards where y's
+    # even 1-D sharding crosses the [gx; gy] block-row boundary (a
+    # half-vector exchange, inherent to the flat-vector contract).
+    # Was 12 before fwd_diff_adjoint switched from jnp.take (a gather
+    # GSPMD can't partition) to static slices; must not regress.  The
+    # hand-scheduled spatial_fused path avoids ALL of this.
+    assert n_allgather <= 6, f"{n_allgather} all-gathers in sharded step"
