@@ -183,17 +183,19 @@ def test_deblur_tiled_end_to_end_matches_generic():
     np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
 
 
-def test_sharded_fused_deblur_matches_generic():
+@pytest.mark.parametrize("n_shards", [2, 4])
+def test_sharded_fused_deblur_matches_generic(n_shards):
     from prost_tpu.parallel import ShardedFusedDeblur, make_mesh
 
-    # nx2 = 30 + 3 - 1 = 32 -> 2 shards of 16 rows >= halo 12
-    prob, _ = deblur_problem(30, 12, lmb=25.0, seed=4, k=3)
+    # nx2 = nx + 2; 4 shards need rows >= halo 12 -> nx2 = 64
+    nx = {2: 30, 4: 62}[n_shards]
+    prob, _ = deblur_problem(nx, 12, lmb=25.0, seed=4, k=3)
     popts = PDHGOptions(stepsize="boyd", residual_iter=2,
                         scale_steps_operator=False)
     gen = BackendPDHG(prob, popts, _opts())
     gs = gen.run(gen.initial_state(), 21)
 
-    mesh = make_mesh((2,), axis_names=("sp",))
+    mesh = make_mesh((n_shards,), axis_names=("sp",))
     sh = ShardedFusedDeblur(prob, popts, _opts(), mesh, interpret=True)
     assert sh.halo == (2 * 2 + 2) * 2
     ss = sh.run(sh.initial_state(), 21)

@@ -179,16 +179,18 @@ def test_tight_tiled_end_to_end_matches_generic():
     np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
 
 
-def test_sharded_fused_tight_matches_generic():
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_sharded_fused_tight_matches_generic(n_shards):
     from prost_tpu.parallel import ShardedFusedTight, make_mesh
 
-    prob = tight_problem(32, 12, L=3, lmb=0.8, seed=6)
+    prob = tight_problem(64 if n_shards == 8 else 32, 12, L=3, lmb=0.8,
+                         seed=6)
     popts = PDHGOptions(stepsize="boyd", residual_iter=3,
                         scale_steps_operator=False)
     gen = BackendPDHG(prob, popts, _opts())
     gs = gen.run(gen.initial_state(), 31)
 
-    mesh = make_mesh((4,), axis_names=("sp",))
+    mesh = make_mesh((n_shards,), axis_names=("sp",))
     sh = ShardedFusedTight(prob, popts, _opts(), mesh, interpret=True)
     ss = sh.run(sh.initial_state(), 31)
 

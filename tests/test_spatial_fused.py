@@ -61,12 +61,13 @@ def test_sharded_fused_full_solve_converges():
     assert res.result == pt.ConvergenceResult.CONVERGED
 
 
-@pytest.mark.parametrize("n_shards,residual_iter", [(4, 3), (2, 5)])
+@pytest.mark.parametrize("n_shards,residual_iter", [(4, 3), (2, 5), (8, 2)])
 def test_sharded_fused_multilabel_matches_generic(n_shards, residual_iter):
     from prost_tpu.parallel import ShardedFusedMultilabel
     from test_fused_multilabel import ml_problem
 
-    prob, _ = ml_problem(32, 16, 3, lmb=0.4, seed=8)
+    prob, _ = ml_problem(48 if n_shards == 8 else 32, 16, 3, lmb=0.4,
+                         seed=8)
     popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
                         scale_steps_operator=False)
 
