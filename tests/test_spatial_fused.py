@@ -145,6 +145,38 @@ def test_sharded_fused_comm_volume_per_chunk():
     assert measured == expected, (measured, expected)
 
 
+def test_sharded_fused_ml_comm_volume_per_chunk():
+    """Multilabel analog of the ROF comm-volume regression: 2 directions
+    x (u: L, q: 2L, s: 1, f: L planes) x halo rows, nothing more."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from functools import partial as _partial
+
+    from prost_tpu.parallel.spatial_fused import _halo_chunk_ml
+
+    L, nx, ny, ri, n_shards = 3, 64, 32, 5, 4
+    halo = 2 * ri + 2
+    mesh = _mesh(n_shards)
+    body = _partial(_halo_chunk_ml, axis="sp", n_shards=n_shards,
+                    halo=halo, nx=nx, ri=ri, interpret=True)
+    lspec, pspec = P(None, "sp", None), P("sp", None)
+    chunk = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(lspec, lspec, pspec, lspec, P()),
+        out_specs=(lspec, lspec, pspec, lspec, lspec, pspec, P()),
+        check_vma=False,
+    ))
+    u = jnp.zeros((L, nx, ny), jnp.float32)
+    q = jnp.zeros((2 * L, nx, ny), jnp.float32)
+    s = jnp.zeros((nx, ny), jnp.float32)
+    scal = jnp.zeros((8,), jnp.float32)
+    hlo = chunk.lower(u, q, s, u, scal).compile().as_text()
+    measured = _collective_permute_bytes(hlo)
+    expected = 2 * (L + 2 * L + 1 + L) * halo * ny * 4
+    assert measured == expected, (measured, expected)
+
+
 def test_sharded_fused_validates_geometry():
     f = np.random.RandomState(7).rand(24 * 24).astype(np.float32)
     prob = rof_problem(24, 24, f, 8.0)
