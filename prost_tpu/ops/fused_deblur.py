@@ -329,44 +329,65 @@ def deblur_fused_chunk_tiled(x, yv, q, fb, sv, tau, sigma, theta, lmb,
                              n_bands: int, interpret: bool = False):
     """Row-band tiled chunk over the (nx2, ny2) rows (cf.
     fused_rof.rof_fused_chunk_tiled) with the conv-width halo
-    (deblur_halo_rows).  nx2 need not divide n_bands evenly — the last
-    band may be shorter (a second kernel shape)."""
+    (deblur_halo_rows).  nx2 need not divide n_bands evenly: the rows are
+    padded up to n_bands equal bands (so the fori_loop body traces the
+    kernel once) and the last band's owned range is clamped to the real
+    rows — padded rows never enter the norms and are cropped from the
+    outputs."""
     nx2, ny2 = x.shape
     halo = deblur_halo_rows(count, taps)
     rows = -(-nx2 // n_bands)  # ceil
+    nx2p = rows * n_bands
 
     def pad(a):
-        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
+        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo + nx2p - nx2), (0, 0))
         return jnp.pad(a, cfg)
 
     planes = tuple(pad(a) for a in (x, yv, q, fb, sv))
     base = _deblur_scal(x, tau, sigma, theta, lmb, radius)
-    outs, heights = [], []
-    for i in range(n_bands):
+    ext = rows + 2 * halo
+    own = slice(halo, halo + rows)
+
+    def band(i, carry):
         lo = i * rows
-        h = min(rows, nx2 - lo)
-        if h <= 0:
-            break
-        heights.append(h)
-        sl = slice(lo, lo + h + 2 * halo)
+
+        def sl(a):
+            return lax.dynamic_slice_in_dim(a, lo, ext, axis=a.ndim - 2)
+
+        hi = jnp.minimum(jnp.asarray(rows, jnp.int32),
+                         jnp.asarray(nx2, jnp.int32) - lo)
         scal = jnp.concatenate([
-            base, jnp.asarray([lo - halo, halo, halo + h], x.dtype),
+            base,
+            jnp.stack([(lo - halo).astype(x.dtype),
+                       jnp.asarray(halo, x.dtype),
+                       (halo + hi).astype(x.dtype)]),
         ])
-        band = tuple(a[:, sl] if a.ndim == 3 else a[sl] for a in planes)
-        outs.append(deblur_fused_chunk_halo(
-            band[0], band[1], band[2], band[3], band[4], scal, count,
-            nx, ny, taps, sig_q, tau_t, interpret=interpret))
+        b = tuple(sl(a) for a in planes)
+        outs = deblur_fused_chunk_halo(
+            b[0], b[1], b[2], b[3], b[4], scal, count, nx, ny, taps,
+            sig_q, tau_t, interpret=interpret)
 
-    def cat(j):
-        parts = []
-        for o, h in zip(outs, heights):
-            a = o[j]
-            own = slice(halo, halo + h)
-            parts.append(a[:, own] if a.ndim == 3 else a[own])
-        return jnp.concatenate(parts, axis=-2)
+        def upd(acc, val):
+            crop = val[:, own] if val.ndim == 3 else val[own]
+            return lax.dynamic_update_slice_in_dim(
+                acc, crop, lo, axis=acc.ndim - 2)
 
-    norms2 = sum(o[6] for o in outs)
-    return cat(0), cat(1), cat(2), cat(3), cat(4), cat(5), norms2
+        return tuple(upd(a, o) for a, o in zip(carry[:6], outs[:6])) + (
+            carry[6] + outs[6],)
+
+    def zp(a):
+        cfg = ((0, 0),) * (a.ndim - 2) + ((0, nx2p - nx2), (0, 0))
+        return jnp.zeros_like(jnp.pad(a, cfg))
+
+    init = (zp(x), zp(yv), zp(q), zp(x), zp(yv), zp(q),
+            jnp.zeros((4,), x.dtype))
+    res = lax.fori_loop(0, n_bands, band, init)
+
+    def crop(a):
+        return a[..., :nx2, :]
+
+    return (crop(res[0]), crop(res[1]), crop(res[2]), crop(res[3]),
+            crop(res[4]), crop(res[5]), res[6])
 
 
 def deblur_fits_vmem(nx2: int, ny2: int, itemsize: int = 4) -> bool:
@@ -384,11 +405,12 @@ def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
     if deblur_fits_vmem(nx2, ny2, itemsize):
         return 1
     halo = deblur_halo_rows(max(int(residual_iter), 1), taps)
+    budget = int(0.75 * _VMEM_LIMIT)  # see fused_rof.band_count
     for n_bands in range(2, nx2 + 1):
         rows = -(-nx2 // n_bands)
         if rows < halo:
             return None
-        if 18 * (rows + 2 * halo) * ny2 * itemsize <= _VMEM_LIMIT:
+        if 18 * (rows + 2 * halo) * ny2 * itemsize <= budget:
             return n_bands
     return None
 

@@ -280,38 +280,45 @@ def ml_fused_chunk_tiled(u, q, s, f, tau, sigma, theta, radius, d_s, count,
     """``count`` fused iterations on planes too large for VMEM: row bands
     through the halo-extended kernel, exactly like
     fused_rof.rof_fused_chunk_tiled (owned rows bit-identical to the
-    whole-plane kernel; owned-row norms sum to the global norms)."""
+    whole-plane kernel; owned-row norms sum to the global norms; the
+    band loop is a fori_loop with CLAMPED dynamic slices of the unpadded
+    planes — kernel compiles once, no pad/stack/transpose copies)."""
     L, nx, ny = u.shape
     halo = 2 * int(count) + 2
     rows = nx // n_bands
     assert rows * n_bands == nx
-
-    def pad(a):
-        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
-        return jnp.pad(a, cfg)
-
-    up, qp, sp, fp = pad(u), pad(q), pad(s), pad(f)
+    ext = min(rows + 2 * halo, nx)
     base = _ml_scal(u, tau, sigma, theta, radius, d_s)
-    outs = []
-    for i in range(n_bands):
-        sl = slice(i * rows, i * rows + rows + 2 * halo)
+
+    def band(i, carry):
+        lo = i * rows
+        start = jnp.clip(lo - halo, 0, nx - ext)
+        own_lo = lo - start
+
+        def sl(a):
+            return lax.dynamic_slice_in_dim(a, start, ext, axis=a.ndim - 2)
+
         scal = jnp.concatenate([
             base,
-            jnp.asarray([i * rows - halo, halo, halo + rows], u.dtype),
+            jnp.stack([start.astype(u.dtype), own_lo.astype(u.dtype),
+                       (own_lo + rows).astype(u.dtype)]),
         ])
-        outs.append(ml_fused_chunk_halo(
-            up[:, sl], qp[:, sl], sp[sl], fp[:, sl], scal, count, nx,
-            interpret=interpret))
+        outs = ml_fused_chunk_halo(
+            sl(u), sl(q), sl(s), sl(f), scal, count, nx,
+            interpret=interpret)
 
-    own = slice(halo, halo + rows)
+        def upd(acc, val):
+            ax = acc.ndim - 2
+            crop = lax.dynamic_slice_in_dim(val, own_lo, rows, axis=ax)
+            return lax.dynamic_update_slice_in_dim(acc, crop, lo, axis=ax)
 
-    def cat(j, nd):
-        parts = [(o[j][:, own] if nd == 3 else o[j][own]) for o in outs]
-        return jnp.concatenate(parts, axis=1 if nd == 3 else 0)
+        return tuple(upd(a, o) for a, o in zip(carry[:6], outs[:6])) + (
+            carry[6] + outs[6],)
 
-    norms2 = sum(o[6] for o in outs)
-    return (cat(0, 3), cat(1, 3), cat(2, 2), cat(3, 3), cat(4, 3),
-            cat(5, 2), norms2)
+    init = (jnp.zeros_like(u), jnp.zeros_like(q), jnp.zeros_like(s),
+            jnp.zeros_like(u), jnp.zeros_like(q), jnp.zeros_like(s),
+            jnp.zeros((4,), u.dtype))
+    return lax.fori_loop(0, n_bands, band, init)
 
 
 def ml_fits_vmem(nx: int, ny: int, L: int, itemsize: int = 4) -> bool:

@@ -431,14 +431,20 @@ def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
     """Row-band tiling factor for problems too big for the whole-plane
     kernel: the smallest divisor ``n_bands`` of nx such that one
     halo-extended (nx/n_bands + 2*(2*ri + 2), ny) band keeps ~n_planes
-    live planes under the VMEM limit.  Returns 1 when the whole plane
-    fits, None when no efficient tiling exists (bands would be thinner
-    than their halos, or nx has no suitable divisor) — the caller then
-    falls back to the generic path, as block_gradient2d.cu-style kernels
-    never need to (the reference streams HBM per op and works at any
-    size; here tiling is what removes the VMEM residency cap)."""
+    live planes within 75% of the VMEM limit (the n_planes estimate
+    undercounts Mosaic temporaries — a band sized right at the limit was
+    measured to be REJECTED at 2048x2048, silently falling back to the
+    generic path).  Returns 1 when the whole plane fits, None when no
+    efficient tiling exists (bands would be thinner than their halos, or
+    nx has no suitable divisor) — the caller then falls back to the
+    generic path, as block_gradient2d.cu-style kernels never need to
+    (the reference streams HBM per op and works at any size; here tiling
+    is what removes the VMEM residency cap)."""
+    # whole-plane keeps the full limit (80 MB live planes measured fine
+    # at ROF 1024x1024); the stricter budget applies to bands only
     if nx * ny * itemsize * n_planes <= _VMEM_LIMIT:
         return 1
+    budget = int(0.75 * _VMEM_LIMIT)
     halo = 2 * max(int(residual_iter), 1) + 2
     for n_bands in range(2, nx + 1):
         if nx % n_bands:
@@ -446,7 +452,7 @@ def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
         rows = nx // n_bands
         if rows < halo:  # halo recompute would dominate
             return None
-        if (rows + 2 * halo) * ny * itemsize * n_planes <= _VMEM_LIMIT:
+        if (rows + 2 * halo) * ny * itemsize * n_planes <= budget:
             return n_bands
     return None
 
@@ -464,38 +470,55 @@ def rof_fused_chunk_tiled(x, q, f, w, tau, sigma, theta, lmb, radius, count,
     are bit-identical to the whole-plane kernel (information propagates
     <= 2 rows/iteration), and the owned-row norms sum to the global norms.
 
+    The band loop is a ``lax.fori_loop`` whose body traces the kernel
+    ONCE (compile time independent of n_bands — matters on the
+    remote-compile tunnel) and writes each band's owned rows straight
+    into the output planes with dynamic_update_slice (no stack/transpose
+    copies).  Bands are CLAMPED dynamic slices of the unpadded planes:
+    at the domain edges the halo rows contain interior rows instead of
+    zeros, which is just different halo garbage — the kernel's
+    global-row masks already guarantee that nothing beyond the Neumann
+    boundary influences owned rows (same argument as the sharded path's
+    zero halos), so no per-chunk jnp.pad copies are needed.
+
     Same signature/returns as ``rof_fused_chunk``.
     """
     nx, ny = x.shape
     halo = 2 * int(count) + 2
     rows = nx // n_bands
     assert rows * n_bands == nx
-
-    def pad(a):
-        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
-        return jnp.pad(a, cfg)
-
-    xp, qp, fp, wp = pad(x), pad(q), pad(f), pad(w)
+    ext = min(rows + 2 * halo, nx)
     base = _scal_vec(x, tau, sigma, theta, lmb, radius)
-    outs = []
-    for i in range(n_bands):
-        sl = slice(i * rows, i * rows + rows + 2 * halo)
+
+    def band(i, carry):
+        lo = i * rows
+        start = jnp.clip(lo - halo, 0, nx - ext)
+        own_lo = lo - start
+
+        def sl(a):
+            return lax.dynamic_slice_in_dim(a, start, ext, axis=a.ndim - 2)
+
         scal = jnp.concatenate([
             base,
-            jnp.asarray([i * rows - halo, halo, halo + rows], x.dtype),
+            jnp.stack([start.astype(x.dtype), own_lo.astype(x.dtype),
+                       (own_lo + rows).astype(x.dtype)]),
         ])
-        outs.append(rof_fused_chunk_halo(
-            xp[sl], qp[:, sl], fp[sl], wp[sl], scal, count, nx,
-            dataterm=dataterm, interpret=interpret))
+        x2, q2, xpv, qpv, n2 = rof_fused_chunk_halo(
+            sl(x), sl(q), sl(f), sl(w), scal, count, nx,
+            dataterm=dataterm, interpret=interpret)
+        ax2, aq2, axp, aqp, an2 = carry
 
-    own = slice(halo, halo + rows)
+        def upd(acc, val):
+            ax = acc.ndim - 2
+            crop = lax.dynamic_slice_in_dim(val, own_lo, rows, axis=ax)
+            return lax.dynamic_update_slice_in_dim(acc, crop, lo, axis=ax)
 
-    def cat(j, is_q):
-        parts = [(o[j][:, own] if is_q else o[j][own]) for o in outs]
-        return jnp.concatenate(parts, axis=1 if is_q else 0)
+        return (upd(ax2, x2), upd(aq2, q2),
+                upd(axp, xpv), upd(aqp, qpv), an2 + n2)
 
-    norms2 = sum(o[4] for o in outs)
-    return cat(0, False), cat(1, True), cat(2, False), cat(3, True), norms2
+    init = (jnp.zeros_like(x), jnp.zeros_like(q), jnp.zeros_like(x),
+            jnp.zeros_like(q), jnp.zeros((4,), x.dtype))
+    return lax.fori_loop(0, n_bands, band, init)
 
 
 def match_rof_structure(problem):

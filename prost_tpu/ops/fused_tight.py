@@ -261,36 +261,41 @@ def tight_fused_chunk_tiled(u, v, q, p, s, f, tau, sigma, theta, radius,
     halo = 2 * int(count) + 2
     rows = nx // n_bands
     assert rows * n_bands == nx
-
-    def pad(a):
-        cfg = ((0, 0),) * (a.ndim - 2) + ((halo, halo), (0, 0))
-        return jnp.pad(a, cfg)
-
-    planes = tuple(pad(a) for a in (u, v, q, p, s, f))
+    ext = min(rows + 2 * halo, nx)
+    planes = (u, v, q, p, s, f)
     base = _tight_scal(u, tau, sigma, theta, radius, d_s)
-    outs = []
-    for i in range(n_bands):
-        sl = slice(i * rows, i * rows + rows + 2 * halo)
+
+    def band(i, carry):
+        lo = i * rows
+        start = jnp.clip(lo - halo, 0, nx - ext)
+        own_lo = lo - start
+
+        def sl(a):
+            return lax.dynamic_slice_in_dim(a, start, ext, axis=a.ndim - 2)
+
         scal = jnp.concatenate([
             base,
-            jnp.asarray([i * rows - halo, halo, halo + rows], u.dtype),
+            jnp.stack([start.astype(u.dtype), own_lo.astype(u.dtype),
+                       (own_lo + rows).astype(u.dtype)]),
         ])
-        band = tuple(a[:, sl] if a.ndim == 3 else a[sl] for a in planes)
-        outs.append(tight_fused_chunk_halo(
-            *band[:5], band[5], scal, count, nx, taps, consts,
-            interpret=interpret))
+        b = tuple(sl(a) for a in planes)
+        new_, prev_, n2 = tight_fused_chunk_halo(
+            *b[:5], b[5], scal, count, nx, taps, consts,
+            interpret=interpret)
 
-    own = slice(halo, halo + rows)
+        def upd(acc, val):
+            ax = acc.ndim - 2
+            crop = lax.dynamic_slice_in_dim(val, own_lo, rows, axis=ax)
+            return lax.dynamic_update_slice_in_dim(acc, crop, lo, axis=ax)
 
-    def cat(tuples, j):
-        parts = [(t[j][:, own] if t[j].ndim == 3 else t[j][own])
-                 for t in tuples]
-        return jnp.concatenate(parts, axis=1 if parts[0].ndim == 3 else 0)
+        cn, cp, an2 = carry
+        return (tuple(upd(a, o) for a, o in zip(cn, new_)),
+                tuple(upd(a, o) for a, o in zip(cp, prev_)),
+                an2 + n2)
 
-    new = tuple(cat([o[0] for o in outs], j) for j in range(5))
-    prev = tuple(cat([o[1] for o in outs], j) for j in range(5))
-    norms2 = sum(o[2] for o in outs)
-    return new, prev, norms2
+    zeros = tuple(jnp.zeros_like(a) for a in (u, v, q, p, s))
+    init = (zeros, zeros, jnp.zeros((4,), u.dtype))
+    return lax.fori_loop(0, n_bands, band, init)
 
 
 def tight_fits_vmem(nx, ny, L, k, itemsize: int = 4) -> bool:
