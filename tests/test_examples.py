@@ -249,3 +249,12 @@ def test_custom_prox_example():
         capture_output=True, text=True, timeout=240)
     assert r.returncode == 0, r.stdout + r.stderr
     assert "result: converged" in r.stdout
+
+
+def test_sharded_example_paths_agree():
+    from example_sharded import run
+
+    out = run(size=32, n_shards=4, max_iters=200, verbose=False,
+              interpret=True)
+    assert out["n_shards"] == 4
+    assert out["diff"] < 1e-5  # same trajectory on both sharded paths
