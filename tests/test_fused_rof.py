@@ -198,6 +198,31 @@ def test_tiled_chunk_bit_equal_to_whole_plane(n_bands):
                                rtol=1e-5, atol=1e-10)
 
 
+@pytest.mark.parametrize("n_bands", [2, 4, 8])
+def test_banded_chunk_matches_whole_plane(n_bands):
+    """The single-launch grid-banded kernel (manual HBM->VMEM halo DMAs,
+    blocked owned-row outputs) == the whole-plane kernel to <= 1 ulp."""
+    from prost_tpu.ops.fused_rof import (rof_fused_chunk,
+                                         rof_fused_chunk_banded)
+
+    nx = ny = 64
+    ri = 6
+    rng = np.random.RandomState(15)
+    x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    q = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, 8.0, 1.0)
+
+    ref = rof_fused_chunk(x, q, f, f, *args, ri, interpret=True)
+    ban = rof_fused_chunk_banded(x, q, f, f, *args, ri, n_bands,
+                                 interpret=True)
+    for a, b in zip(ref[:4], ban[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(ban[4]),
+                               rtol=1e-5, atol=1e-10)
+
+
 def test_tiled_end_to_end_matches_generic():
     """FusedROFPDHG with the tiled kernel forced (n_bands=4) follows the
     generic trajectory exactly, including residuals/adaptation."""
