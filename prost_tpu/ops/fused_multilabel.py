@@ -275,6 +275,105 @@ def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
                            interpret)
 
 
+def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
+                      uo_ref, qo_ref, so_ref, upo_ref, qpo_ref, spo_ref,
+                      norms_ref, us, qs, ss, fs, sem, *,
+                      count: int, L: int, nx: int, rows: int, halo: int):
+    """Grid-banded multilabel chunk (cf. fused_rof._rof_banded_kernel):
+    one launch per chunk, manual halo-window DMAs from HBM, blocked
+    owned-row outputs.  norms_ref is the whole (4, n_bands) SMEM array."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    ext = us.shape[1]
+    start = jnp.clip(i * rows - halo, 0, nx - ext)
+    own_lo = i * rows - start
+
+    def fetch(src, dst):
+        c = pltpu.make_async_copy(src, dst, sem)
+        c.start()
+        c.wait()
+
+    fetch(u_hbm.at[:, pl.ds(start, ext)], us)
+    fetch(q_hbm.at[:, pl.ds(start, ext)], qs)
+    fetch(s_hbm.at[pl.ds(start, ext)], ss)
+    fetch(f_hbm.at[:, pl.ds(start, ext)], fs)
+
+    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    new, prev, norms = _ml_chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        us[...], qs[...], ss[...], fs[...], count, L, halo_ctx=halo_ctx)
+    u2, qx2, qy2, s2 = new
+    up, qxp, qyp, sp = prev
+    for j in range(4):
+        norms_ref[j, i] = norms[j]
+
+    def own(a):
+        return lax.dynamic_slice_in_dim(a, own_lo, rows, axis=a.ndim - 2)
+
+    uo_ref[...] = own(u2)
+    qo_ref[0:L] = own(qx2)
+    qo_ref[L:] = own(qy2)
+    so_ref[...] = own(s2)
+    upo_ref[...] = own(up)
+    qpo_ref[0:L] = own(qxp)
+    qpo_ref[L:] = own(qyp)
+    spo_ref[...] = own(sp)
+
+
+def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
+                          count, n_bands: int, interpret: bool = False):
+    """``count`` fused iterations with the planes split into ``n_bands``
+    row bands inside ONE kernel.  Same returns as ``ml_fused_chunk``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nx, ny = u.shape
+    halo = 2 * int(count) + 2
+    rows = nx // n_bands
+    assert rows * n_bands == nx
+    ext = min(rows + 2 * halo, nx)
+
+    scal = _ml_scal(u, tau, sigma, theta, radius, d_s)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    uov = pl.BlockSpec((L, rows, ny), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    qov = pl.BlockSpec((2 * L, rows, ny), lambda i: (0, i, 0),
+                       memory_space=pltpu.VMEM)
+    sov = pl.BlockSpec((rows, ny), lambda i: (i, 0),
+                       memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct((4, n_bands), u.dtype),
+    ]
+    dt = u.dtype
+    outs = pl.pallas_call(
+        partial(_ml_banded_kernel, count=int(count), L=L, nx=nx,
+                rows=rows, halo=halo),
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem, hbm, hbm, hbm, hbm],
+        out_specs=[uov, qov, sov, uov, qov, sov, smem],
+        scratch_shapes=[
+            pltpu.VMEM((L, ext, ny), dt), pltpu.VMEM((2 * L, ext, ny), dt),
+            pltpu.VMEM((ext, ny), dt), pltpu.VMEM((L, ext, ny), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, s, f)
+    return (outs[0], outs[1], outs[2], outs[3], outs[4], outs[5],
+            jnp.sum(outs[6], axis=1))
+
+
 def ml_fused_chunk_tiled(u, q, s, f, tau, sigma, theta, radius, d_s, count,
                          n_bands: int, interpret: bool = False):
     """``count`` fused iterations on planes too large for VMEM: row bands

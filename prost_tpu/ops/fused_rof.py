@@ -458,16 +458,18 @@ def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
 
 
 def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
-                       xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref,
-                       xs, qs, fs, ws, sem, *,
+                       xo_hbm, qo_hbm, xpo_hbm, qpo_hbm, norms_ref,
+                       xs, qs, fs, ws, qps, sem, *,
                        count: int, nx: int, ny: int, rows: int, halo: int,
                        dataterm: str):
     """Grid-banded chunk: ONE kernel launch per chunk, grid over row
-    bands.  Inputs stay in HBM (memory_space=ANY) and each grid step
-    DMAs its clamped halo-extended window into VMEM scratch — the true
-    minimum input traffic, no XLA-level slice/crop copies.  Outputs are
-    blocked owned-row tiles, pipelined by Pallas.  norms_ref is the
-    whole (4, n_bands) SMEM array (summed by the caller)."""
+    bands.  Inputs AND outputs stay in HBM (memory_space=ANY): each grid
+    step DMAs its clamped halo-extended window into VMEM scratch,
+    computes, and DMAs only its owned rows back — the true minimum HBM
+    traffic, no XLA-level slice/crop copies (Mosaic cannot lower
+    value-level dynamic_slice, so owned rows leave via ref-level
+    ``.at[pl.ds(...)]`` copies).  norms_ref is the whole (4, n_bands)
+    SMEM array (summed by the caller)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -476,16 +478,16 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     start = jnp.clip(i * rows - halo, 0, nx - ext)
     own_lo = i * rows - start
 
-    def fetch(src, dst):
+    def copy(src, dst):
         c = pltpu.make_async_copy(src, dst, sem)
         c.start()
         c.wait()
 
-    fetch(x_hbm.at[pl.ds(start, ext)], xs)
-    fetch(q_hbm.at[:, pl.ds(start, ext)], qs)
-    fetch(f_hbm.at[pl.ds(start, ext)], fs)
+    copy(x_hbm.at[pl.ds(start, ext)], xs)
+    copy(q_hbm.at[:, pl.ds(start, ext)], qs)
+    copy(f_hbm.at[pl.ds(start, ext)], fs)
     if dataterm == "wsquare":
-        fetch(w_hbm.at[pl.ds(start, ext)], ws)
+        copy(w_hbm.at[pl.ds(start, ext)], ws)
 
     halo_ctx = (start, nx, own_lo, own_lo + rows)
     q = qs[...]
@@ -496,15 +498,18 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     for j in range(4):
         norms_ref[j, i] = norms[j]
 
-    def own(a):
-        return lax.dynamic_slice_in_dim(a, own_lo, rows, axis=0)
-
-    xo_ref[...] = own(x2)
-    qo_ref[0] = own(qx2)
-    qo_ref[1] = own(qy2)
-    xpo_ref[...] = own(xp)
-    qpo_ref[0] = own(qxp)
-    qpo_ref[1] = own(qyp)
+    # stage results in the (now free) input scratch, DMA owned rows out
+    xs[...] = x2
+    qs[0] = qx2
+    qs[1] = qy2
+    ws[...] = xp
+    qps[0] = qxp
+    qps[1] = qyp
+    lo = i * rows
+    copy(xs.at[pl.ds(own_lo, rows)], xo_hbm.at[pl.ds(lo, rows)])
+    copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
+    copy(ws.at[pl.ds(own_lo, rows)], xpo_hbm.at[pl.ds(lo, rows)])
+    copy(qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)])
 
 
 def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
@@ -525,10 +530,6 @@ def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
     scal = _scal_vec(x, tau, sigma, theta, lmb, radius)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    xov = pl.BlockSpec((rows, ny), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
-    qov = pl.BlockSpec((2, rows, ny), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(x.shape, x.dtype),
         jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -543,10 +544,11 @@ def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
         grid=(n_bands,),
         out_shape=out_shape,
         in_specs=[smem, hbm, hbm, hbm, hbm],
-        out_specs=[xov, qov, xov, qov, smem],
+        out_specs=[hbm, hbm, hbm, hbm, smem],
         scratch_shapes=[
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((2, ext, ny), dt),
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((ext, ny), dt),
+            pltpu.VMEM((2, ext, ny), dt),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
