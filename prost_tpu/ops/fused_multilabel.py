@@ -276,12 +276,14 @@ def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
 
 
 def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
-                      uo_ref, qo_ref, so_ref, upo_ref, qpo_ref, spo_ref,
-                      norms_ref, us, qs, ss, fs, sem, *,
+                      uo_hbm, qo_hbm, so_hbm, upo_hbm, qpo_hbm, spo_hbm,
+                      norms_ref, us, qs, ss, fs, qps, sps, sem, *,
                       count: int, L: int, nx: int, rows: int, halo: int):
     """Grid-banded multilabel chunk (cf. fused_rof._rof_banded_kernel):
-    one launch per chunk, manual halo-window DMAs from HBM, blocked
-    owned-row outputs.  norms_ref is the whole (4, n_bands) SMEM array."""
+    one launch per chunk, manual halo-window DMAs from HBM in, owned-row
+    DMAs out (staged through the freed input scratch — Mosaic cannot
+    lower value-level dynamic_slice).  norms_ref is the whole
+    (4, n_bands) SMEM array."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -290,15 +292,15 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     start = jnp.clip(i * rows - halo, 0, nx - ext)
     own_lo = i * rows - start
 
-    def fetch(src, dst):
+    def copy(src, dst):
         c = pltpu.make_async_copy(src, dst, sem)
         c.start()
         c.wait()
 
-    fetch(u_hbm.at[:, pl.ds(start, ext)], us)
-    fetch(q_hbm.at[:, pl.ds(start, ext)], qs)
-    fetch(s_hbm.at[pl.ds(start, ext)], ss)
-    fetch(f_hbm.at[:, pl.ds(start, ext)], fs)
+    copy(u_hbm.at[:, pl.ds(start, ext)], us)
+    copy(q_hbm.at[:, pl.ds(start, ext)], qs)
+    copy(s_hbm.at[pl.ds(start, ext)], ss)
+    copy(f_hbm.at[:, pl.ds(start, ext)], fs)
 
     halo_ctx = (start, nx, own_lo, own_lo + rows)
     new, prev, norms = _ml_chunk_core(
@@ -309,17 +311,22 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     for j in range(4):
         norms_ref[j, i] = norms[j]
 
-    def own(a):
-        return lax.dynamic_slice_in_dim(a, own_lo, rows, axis=a.ndim - 2)
-
-    uo_ref[...] = own(u2)
-    qo_ref[0:L] = own(qx2)
-    qo_ref[L:] = own(qy2)
-    so_ref[...] = own(s2)
-    upo_ref[...] = own(up)
-    qpo_ref[0:L] = own(qxp)
-    qpo_ref[L:] = own(qyp)
-    spo_ref[...] = own(sp)
+    # stage results in the freed scratch, DMA owned rows out
+    us[...] = u2
+    qs[0:L] = qx2
+    qs[L:] = qy2
+    ss[...] = s2
+    fs[...] = up
+    qps[0:L] = qxp
+    qps[L:] = qyp
+    sps[...] = sp
+    lo = i * rows
+    copy(us.at[:, pl.ds(own_lo, rows)], uo_hbm.at[:, pl.ds(lo, rows)])
+    copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
+    copy(ss.at[pl.ds(own_lo, rows)], so_hbm.at[pl.ds(lo, rows)])
+    copy(fs.at[:, pl.ds(own_lo, rows)], upo_hbm.at[:, pl.ds(lo, rows)])
+    copy(qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)])
+    copy(sps.at[pl.ds(own_lo, rows)], spo_hbm.at[pl.ds(lo, rows)])
 
 
 def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
@@ -330,9 +337,10 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
     from jax.experimental.pallas import tpu as pltpu
 
     L, nx, ny = u.shape
-    halo = 2 * int(count) + 2
+    # 8-aligned halo/rows: Mosaic DMA slice alignment (see fused_rof)
+    halo = -(-(2 * int(count) + 2) // 8) * 8
     rows = nx // n_bands
-    assert rows * n_bands == nx
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
     ext = min(rows + 2 * halo, nx)
 
     scal = _ml_scal(u, tau, sigma, theta, radius, d_s)
@@ -364,6 +372,7 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
         scratch_shapes=[
             pltpu.VMEM((L, ext, ny), dt), pltpu.VMEM((2 * L, ext, ny), dt),
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((L, ext, ny), dt),
+            pltpu.VMEM((2 * L, ext, ny), dt), pltpu.VMEM((ext, ny), dt),
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
@@ -550,7 +559,7 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
         q = s.y[:2 * nL].reshape(2 * L, nx, ny)
         sm = s.y[2 * nL:].reshape(nx, ny)
         chunk = (ml_fused_chunk if n_bands == 1
-                 else partial(ml_fused_chunk_tiled, n_bands=n_bands))
+                 else partial(ml_fused_chunk_banded, n_bands=n_bands))
         u2, q2, s2, up, qp, sp, norms2 = chunk(
             u, q, sm, f_planes, s.tau, s.sigma, s.theta, radius, d_s,
             ri, interpret=interpret)

@@ -445,11 +445,15 @@ def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
     if nx * ny * itemsize * n_planes <= _VMEM_LIMIT:
         return 1
     budget = int(0.75 * _VMEM_LIMIT)
-    halo = 2 * max(int(residual_iter), 1) + 2
+    # the banded kernel's DMA slices must be 8-aligned along the sublane
+    # dim: halo rounds up to a multiple of 8 and band rows must be too
+    halo = -(-(2 * max(int(residual_iter), 1) + 2) // 8) * 8
     for n_bands in range(2, nx + 1):
         if nx % n_bands:
             continue
         rows = nx // n_bands
+        if rows % 8:
+            continue
         if rows < halo:  # halo recompute would dominate
             return None
         if (rows + 2 * halo) * ny * itemsize * n_planes <= budget:
@@ -522,9 +526,12 @@ def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
     from jax.experimental.pallas import tpu as pltpu
 
     nx, ny = x.shape
-    halo = 2 * int(count) + 2
+    # halo rounded up to the sublane tile (8): Mosaic requires DMA slice
+    # shapes/offsets 8-aligned along dim 0 (extra halo rows are merely
+    # redundant compute)
+    halo = -(-(2 * int(count) + 2) // 8) * 8
     rows = nx // n_bands
-    assert rows * n_bands == nx
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
     ext = min(rows + 2 * halo, nx)
 
     scal = _scal_vec(x, tau, sigma, theta, lmb, radius)
