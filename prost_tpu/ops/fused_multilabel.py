@@ -289,8 +289,11 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
 
     i = pl.program_id(0)
     ext = us.shape[1]
-    start = jnp.clip(i * rows - halo, 0, nx - ext)
-    own_lo = i * rows - start
+    # 8 * (...) construction: provable sublane-tile alignment (fused_rof)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    start = 8 * start8
+    own_lo = 8 * (i * r8 - start8)
 
     def copy(src, dst):
         c = pltpu.make_async_copy(src, dst, sem)
@@ -320,7 +323,7 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     qps[0:L] = qxp
     qps[L:] = qyp
     sps[...] = sp
-    lo = i * rows
+    lo = 8 * (i * r8)
     copy(us.at[:, pl.ds(own_lo, rows)], uo_hbm.at[:, pl.ds(lo, rows)])
     copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
     copy(ss.at[pl.ds(own_lo, rows)], so_hbm.at[pl.ds(lo, rows)])

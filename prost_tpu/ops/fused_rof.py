@@ -479,8 +479,12 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
 
     i = pl.program_id(0)
     ext = xs.shape[0]
-    start = jnp.clip(i * rows - halo, 0, nx - ext)
-    own_lo = i * rows - start
+    # offsets constructed as 8 * (...) so Mosaic can PROVE the DMA slice
+    # indices are sublane-tile (8) aligned
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    start = 8 * start8
+    own_lo = 8 * (i * r8 - start8)
 
     def copy(src, dst):
         c = pltpu.make_async_copy(src, dst, sem)
@@ -509,7 +513,7 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     ws[...] = xp
     qps[0] = qxp
     qps[1] = qyp
-    lo = i * rows
+    lo = 8 * (i * r8)
     copy(xs.at[pl.ds(own_lo, rows)], xo_hbm.at[pl.ds(lo, rows)])
     copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
     copy(ws.at[pl.ds(own_lo, rows)], xpo_hbm.at[pl.ds(lo, rows)])
