@@ -225,8 +225,9 @@ def test_banded_chunk_matches_whole_plane(n_bands):
 
 def test_tiled_end_to_end_matches_generic():
     """FusedROFPDHG with the tiled kernel forced (n_bands=4) follows the
-    generic trajectory exactly, including residuals/adaptation."""
-    nx = ny = 48
+    generic trajectory exactly, including residuals/adaptation.  nx must
+    give 8-aligned band rows (the banded kernel's DMA constraint)."""
+    nx = ny = 64
     rng = np.random.RandomState(6)
     f = rng.rand(nx * ny).astype(np.float32)
     prob = rof_problem(nx, ny, f, 16.0)
