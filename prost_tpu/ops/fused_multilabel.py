@@ -295,15 +295,21 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     start = 8 * start8
     own_lo = 8 * (i * r8 - start8)
 
-    def copy(src, dst):
-        c = pltpu.make_async_copy(src, dst, sem)
-        c.start()
-        c.wait()
+    def copies(pairs):
+        # issue every transfer, then drain: overlaps the DMA setup/latency
+        # of the many per-label-plane strided subcopies
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
 
-    copy(u_hbm.at[:, pl.ds(start, ext)], us)
-    copy(q_hbm.at[:, pl.ds(start, ext)], qs)
-    copy(s_hbm.at[pl.ds(start, ext)], ss)
-    copy(f_hbm.at[:, pl.ds(start, ext)], fs)
+    copies([
+        (u_hbm.at[:, pl.ds(start, ext)], us),
+        (q_hbm.at[:, pl.ds(start, ext)], qs),
+        (s_hbm.at[pl.ds(start, ext)], ss),
+        (f_hbm.at[:, pl.ds(start, ext)], fs),
+    ])
 
     halo_ctx = (start, nx, own_lo, own_lo + rows)
     new, prev, norms = _ml_chunk_core(
@@ -324,12 +330,14 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     qps[L:] = qyp
     sps[...] = sp
     lo = 8 * (i * r8)
-    copy(us.at[:, pl.ds(own_lo, rows)], uo_hbm.at[:, pl.ds(lo, rows)])
-    copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
-    copy(ss.at[pl.ds(own_lo, rows)], so_hbm.at[pl.ds(lo, rows)])
-    copy(fs.at[:, pl.ds(own_lo, rows)], upo_hbm.at[:, pl.ds(lo, rows)])
-    copy(qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)])
-    copy(sps.at[pl.ds(own_lo, rows)], spo_hbm.at[pl.ds(lo, rows)])
+    copies([
+        (us.at[:, pl.ds(own_lo, rows)], uo_hbm.at[:, pl.ds(lo, rows)]),
+        (qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)]),
+        (ss.at[pl.ds(own_lo, rows)], so_hbm.at[pl.ds(lo, rows)]),
+        (fs.at[:, pl.ds(own_lo, rows)], upo_hbm.at[:, pl.ds(lo, rows)]),
+        (qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)]),
+        (sps.at[pl.ds(own_lo, rows)], spo_hbm.at[pl.ds(lo, rows)]),
+    ])
 
 
 def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,

@@ -486,16 +486,22 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     start = 8 * start8
     own_lo = 8 * (i * r8 - start8)
 
-    def copy(src, dst):
-        c = pltpu.make_async_copy(src, dst, sem)
-        c.start()
-        c.wait()
+    def copies(pairs):
+        # issue every transfer, then drain (overlap DMA setup/latency)
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
 
-    copy(x_hbm.at[pl.ds(start, ext)], xs)
-    copy(q_hbm.at[:, pl.ds(start, ext)], qs)
-    copy(f_hbm.at[pl.ds(start, ext)], fs)
+    fetches = [
+        (x_hbm.at[pl.ds(start, ext)], xs),
+        (q_hbm.at[:, pl.ds(start, ext)], qs),
+        (f_hbm.at[pl.ds(start, ext)], fs),
+    ]
     if dataterm == "wsquare":
-        copy(w_hbm.at[pl.ds(start, ext)], ws)
+        fetches.append((w_hbm.at[pl.ds(start, ext)], ws))
+    copies(fetches)
 
     halo_ctx = (start, nx, own_lo, own_lo + rows)
     q = qs[...]
@@ -514,10 +520,12 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     qps[0] = qxp
     qps[1] = qyp
     lo = 8 * (i * r8)
-    copy(xs.at[pl.ds(own_lo, rows)], xo_hbm.at[pl.ds(lo, rows)])
-    copy(qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)])
-    copy(ws.at[pl.ds(own_lo, rows)], xpo_hbm.at[pl.ds(lo, rows)])
-    copy(qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)])
+    copies([
+        (xs.at[pl.ds(own_lo, rows)], xo_hbm.at[pl.ds(lo, rows)]),
+        (qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)]),
+        (ws.at[pl.ds(own_lo, rows)], xpo_hbm.at[pl.ds(lo, rows)]),
+        (qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)]),
+    ])
 
 
 def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
