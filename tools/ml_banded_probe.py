@@ -1,0 +1,72 @@
+"""Microbenchmark the ml banded chunk kernel in isolation on the TPU:
+times (a) the whole-plane ml kernel at 256x256x8, (b) the banded kernel
+at 512x512x8, and (c) the banded kernel at 256x256x8 with n_bands=2
+(same total work as (a) + halo overhead) — to separate intrinsic banded
+compute slowness from chunk-level effects.  Two-point timing per
+bench.py's method."""
+
+import time
+
+import numpy as np
+
+
+def timeit(fn, *args, short=20, long_=220):
+    import jax
+
+    out = fn(*args)
+    jax.block_until_ready(out)
+
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = fn(*args)
+        jax.block_until_ready(o)
+        return time.perf_counter() - t0
+
+    best = float("inf")
+    for _ in range(2):
+        ts = run(short)
+        tl = run(long_)
+        best = min(best, (tl - ts) / (long_ - short))
+    return best
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_chunk_banded)
+
+    ri = 10
+    rng = np.random.RandomState(0)
+
+    def mk(L, nx, ny):
+        u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+        q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+        s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+        f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+        return u, q, s, f
+
+    args = (0.9, 1.1, 1.0, 0.5, 1.0)
+
+    u, q, s, f = mk(8, 256, 256)
+    whole = jax.jit(lambda *a: ml_fused_chunk(*a, *args, ri))
+    t = timeit(whole, u, q, s, f)
+    print(f"whole 256x256x8: {1e6*t:.0f} us/chunk", flush=True)
+
+    b2 = jax.jit(lambda *a: ml_fused_chunk_banded(*a, *args, ri, 2))
+    t2 = timeit(b2, u, q, s, f)
+    print(f"banded 256x256x8 nb=2: {1e6*t2:.0f} us/chunk "
+          f"({t2/t:.2f}x whole)", flush=True)
+
+    u, q, s, f = mk(8, 512, 512)
+    b4 = jax.jit(lambda *a: ml_fused_chunk_banded(*a, *args, ri, 4))
+    t4 = timeit(b4, u, q, s, f, short=10, long_=110)
+    print(f"banded 512x512x8 nb=4: {1e6*t4:.0f} us/chunk "
+          f"({t4/(4*t):.2f}x of 4x whole-256)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
