@@ -390,9 +390,151 @@ def deblur_fused_chunk_tiled(x, yv, q, fb, sv, tau, sigma, theta, lmb,
             crop(res[4]), crop(res[5]), res[6])
 
 
+def _deblur_banded_kernel(scal_ref, x_hbm, yv_hbm, q_hbm, fb_hbm, sv_hbm,
+                          xo, yvo, qo, xpo, yvpo, qpo, norms_ref,
+                          xs, yvs, qs, fbs, svs, qps, sem, *,
+                          count: int, nx: int, ny: int, taps,
+                          sig_q: float, tau_t: float,
+                          nx2: int, rows: int, halo: int, n_bands: int):
+    """Grid-banded deblur chunk: ONE launch per chunk, manual DMAs, all
+    inputs/outputs in HBM (memory_space=ANY) with GLOBAL row offsets (cf.
+    fused_rof._rof_banded_kernel).  Unlike the ROF/ml banded kernels the
+    windows are NOT clamped at the domain edges: the full-conv forward
+    stencil has no row mask (it relies on roll-wrap rows being zero, see
+    _conv_ops), so the first/last bands zero-fill their out-of-domain
+    halo rows and DMA only the valid intersection — reproducing the
+    zero-padded window semantics of deblur_fused_chunk_tiled exactly.
+    norms_ref is the whole (4, n_bands) SMEM array."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    ext = xs.shape[0]
+    r8, h8 = rows // 8, halo // 8
+    valid = ext - halo  # edge bands fetch this many real rows
+
+    def copies(pairs):
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+    ins = ((x_hbm, xs), (yv_hbm, yvs), (q_hbm, qs), (fb_hbm, fbs),
+           (sv_hbm, svs))
+
+    def fetch(src_lo, dst_lo, size):
+        copies([(h.at[..., pl.ds(src_lo, size), :],
+                 s.at[..., pl.ds(dst_lo, size), :]) for h, s in ins])
+
+    first = i == 0
+    last = i == n_bands - 1
+
+    def zero_rows(s, lo):
+        s[..., pl.ds(lo, halo), :] = jnp.zeros(
+            tuple(s.shape[:-2]) + (halo, s.shape[-1]), s.dtype)
+
+    @pl.when(first)
+    def _():
+        for _, s in ins:
+            zero_rows(s, 0)
+        fetch(0, halo, valid)
+
+    @pl.when(last & ~first)
+    def _():
+        for _, s in ins:
+            zero_rows(s, valid)
+        fetch(nx2 - valid, 0, valid)
+
+    if n_bands > 2:  # middle bands exist; their full-ext window fits
+        @pl.when(~first & ~last)
+        def _():
+            fetch(8 * (i * r8 - h8), 0, ext)
+
+    row_offset = 8 * (i * r8 - h8)  # padded-window coordinate of row 0
+    halo_ctx = (row_offset, halo, halo + rows)
+    q = qs[...]
+    (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        xs[...], yvs[...], q[0], q[1], fbs[...], svs[...],
+        count, nx, ny, taps, sig_q, tau_t, pltpu.roll, halo_ctx=halo_ctx)
+    for j in range(4):
+        norms_ref[j, i] = norms[j]
+
+    # stage results in the freed input scratch, DMA owned rows out
+    xs[...] = x2
+    yvs[...] = yv2
+    qs[0] = qx2
+    qs[1] = qy2
+    fbs[...] = xp
+    svs[...] = yvp
+    qps[0] = qxp
+    qps[1] = qyp
+    own_lo = halo  # local; band 0's top halo is zero padding, not rows
+    lo = 8 * (i * r8)
+    outs = ((xs, xo), (yvs, yvo), (qs, qo), (fbs, xpo), (svs, yvpo),
+            (qps, qpo))
+    copies([(s.at[..., pl.ds(own_lo, rows), :],
+             h.at[..., pl.ds(lo, rows), :]) for s, h in outs])
+
+
+def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
+                              radius, count, nx, ny, taps, sig_q, tau_t,
+                              n_bands: int, interpret: bool = False):
+    """``count`` fused iterations with the (nx2, ny2) planes split into
+    ``n_bands`` row bands inside ONE kernel.  Requires nx2 % n_bands == 0
+    and rows % 8 == 0 (deblur_band_count only returns such tilings).
+    Same returns as ``deblur_fused_chunk``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx2, ny2 = x.shape
+    halo = -(-deblur_halo_rows(count, taps) // 8) * 8
+    rows = nx2 // n_bands
+    assert n_bands >= 2, n_bands
+    assert rows * n_bands == nx2 and rows % 8 == 0, (nx2, n_bands)
+    assert halo <= rows, (halo, rows)
+    ext = rows + 2 * halo
+
+    scal = _deblur_scal(x, tau, sigma, theta, lmb, radius)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (x, yv, q, x, yv, q)]
+    out_shape.append(jax.ShapeDtypeStruct((4, n_bands), x.dtype))
+    dt = x.dtype
+    vm = pltpu.VMEM
+    outs = pl.pallas_call(
+        partial(_deblur_banded_kernel, count=int(count), nx=nx, ny=ny,
+                taps=taps, sig_q=sig_q, tau_t=tau_t, nx2=nx2, rows=rows,
+                halo=halo, n_bands=n_bands),
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 5,
+        out_specs=[hbm] * 6 + [smem],
+        scratch_shapes=[
+            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
+            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, x, yv, q, fb, sv)
+    return (outs[0], outs[1], outs[2], outs[3], outs[4], outs[5],
+            jnp.sum(outs[6], axis=1))
+
+
 def deblur_fits_vmem(nx2: int, ny2: int, itemsize: int = 4) -> bool:
     """~18 live (nx2, ny2) planes must fit the raised VMEM limit."""
     return 18 * nx2 * ny2 * itemsize <= _VMEM_LIMIT
+
+
+def deblur_banded_ok(nx2: int, n_bands: int) -> bool:
+    """True when the single-launch banded kernel can run this tiling:
+    its manual DMAs need 8-aligned offsets/sizes, so the rows must split
+    into n_bands equal 8-multiples."""
+    rows = nx2 // n_bands
+    return n_bands >= 2 and rows * n_bands == nx2 and rows % 8 == 0
 
 
 def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
@@ -401,16 +543,32 @@ def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
     whose halo-extended bands keep ~18 live planes under the VMEM limit;
     1 = whole plane, None = no efficient tiling (halo wider than bands —
     the conv reach multiplies the halo, so large kernels + large
-    residual_iter tile poorly; lower residual_iter helps)."""
+    residual_iter tile poorly; lower residual_iter helps).  Exact-divisor
+    8-multiple tilings are preferred (they run the single-launch banded
+    kernel, deblur_banded_ok); ceil-based tilings (any nx2) fall back to
+    the multi-launch tiled path."""
     if deblur_fits_vmem(nx2, ny2, itemsize):
         return 1
     halo = deblur_halo_rows(max(int(residual_iter), 1), taps)
+    halo8 = -(-halo // 8) * 8  # the banded kernel rounds the halo up
     budget = int(0.75 * _VMEM_LIMIT)  # see fused_rof.band_count
+
+    def fits(rows, h):
+        return 18 * (rows + 2 * h) * ny2 * itemsize <= budget
+
+    for n_bands in range(2, nx2 + 1):
+        if not deblur_banded_ok(nx2, n_bands):
+            continue
+        rows = nx2 // n_bands
+        if rows < halo8:
+            break  # halo recompute would dominate; try ceil tilings
+        if fits(rows, halo8):
+            return n_bands
     for n_bands in range(2, nx2 + 1):
         rows = -(-nx2 // n_bands)
         if rows < halo:
             return None
-        if 18 * (rows + 2 * halo) * ny2 * itemsize <= budget:
+        if fits(rows, halo):
             return n_bands
     return None
 
@@ -572,6 +730,11 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
             x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk(
                 x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
                 ri, nx, ny, taps, sig_q, tau_t, interpret=interpret)
+        elif deblur_banded_ok(nx2, n_bands):
+            x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_banded(
+                x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
+                ri, nx, ny, taps, sig_q, tau_t, n_bands,
+                interpret=interpret)
         else:
             x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_tiled(
                 x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,

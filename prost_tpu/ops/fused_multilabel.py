@@ -282,7 +282,11 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     """Grid-banded multilabel chunk (cf. fused_rof._rof_banded_kernel):
     one launch per chunk, manual halo-window DMAs from HBM in, owned-row
     DMAs out (staged through the freed input scratch — Mosaic cannot
-    lower value-level dynamic_slice).  norms_ref is the whole
+    lower value-level dynamic_slice).  Inputs AND outputs live in HBM
+    (memory_space=ANY) and the owned-row DMAs use GLOBAL row offsets —
+    per-band VMEM output blocks must NOT be mixed with global offsets:
+    interpret mode clamps the out-of-range starts (hiding the mismatch)
+    but on hardware the writes land wrong.  norms_ref is the whole
     (4, n_bands) SMEM array."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -357,12 +361,6 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
     scal = _ml_scal(u, tau, sigma, theta, radius, d_s)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    uov = pl.BlockSpec((L, rows, ny), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
-    qov = pl.BlockSpec((2 * L, rows, ny), lambda i: (0, i, 0),
-                       memory_space=pltpu.VMEM)
-    sov = pl.BlockSpec((rows, ny), lambda i: (i, 0),
-                       memory_space=pltpu.VMEM)
     out_shape = [
         jax.ShapeDtypeStruct(u.shape, u.dtype),
         jax.ShapeDtypeStruct(q.shape, q.dtype),
@@ -379,7 +377,7 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
         grid=(n_bands,),
         out_shape=out_shape,
         in_specs=[smem, hbm, hbm, hbm, hbm],
-        out_specs=[uov, qov, sov, uov, qov, sov, smem],
+        out_specs=[hbm] * 6 + [smem],
         scratch_shapes=[
             pltpu.VMEM((L, ext, ny), dt), pltpu.VMEM((2 * L, ext, ny), dt),
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((L, ext, ny), dt),

@@ -250,6 +250,121 @@ def tight_fused_chunk_halo(u, v, q, p, s, f, scal, count, nx_global, taps,
                               consts, True, nx_global, interpret)
 
 
+def _tight_banded_kernel(scal_ref, u_hbm, v_hbm, q_hbm, p_hbm, s_hbm, f_hbm,
+                         uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,
+                         norms_ref, us, vs, qs, ps, ss, fs,
+                         vps, qps, pps, sps, sem, *,
+                         count: int, L: int, k: int, taps, consts,
+                         nx: int, rows: int, halo: int):
+    """Grid-banded tight chunk (cf. fused_rof._rof_banded_kernel): ONE
+    launch per chunk, manual halo-window DMAs from HBM in, owned-row DMAs
+    out at GLOBAL row offsets (inputs and outputs both memory_space=ANY;
+    never mix per-band VMEM output blocks with global offsets — interpret
+    mode clamps the bad starts, hardware does not).  Offsets are built as
+    8*(...) so Mosaic can prove sublane-tile alignment.  norms_ref is the
+    whole (4, n_bands) SMEM array, summed by the caller."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    ext = us.shape[1]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    start = 8 * start8
+    own_lo = 8 * (i * r8 - start8)
+
+    def copies(pairs):
+        # issue every transfer, then drain (overlap DMA setup/latency)
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+    copies([
+        (u_hbm.at[:, pl.ds(start, ext)], us),
+        (v_hbm.at[:, pl.ds(start, ext)], vs),
+        (q_hbm.at[:, pl.ds(start, ext)], qs),
+        (p_hbm.at[:, pl.ds(start, ext)], ps),
+        (s_hbm.at[pl.ds(start, ext)], ss),
+        (f_hbm.at[:, pl.ds(start, ext)], fs),
+    ])
+
+    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    new, prev, norms = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        us[...], vs[...], qs[...], ps[...], ss[...], fs[...],
+        count, L, k, taps, consts, pltpu.roll, halo_ctx=halo_ctx)
+    for j in range(4):
+        norms_ref[j, i] = norms[j]
+
+    # stage results in the freed input scratch (fs holds prev-u), DMA
+    # owned rows out
+    for ref, val in zip((us, vs, qs, ps, ss), new):
+        ref[...] = val
+    for ref, val in zip((fs, vps, qps, pps, sps), prev):
+        ref[...] = val
+    lo = 8 * (i * r8)
+    copies([
+        (us.at[:, pl.ds(own_lo, rows)], uo.at[:, pl.ds(lo, rows)]),
+        (vs.at[:, pl.ds(own_lo, rows)], vo.at[:, pl.ds(lo, rows)]),
+        (qs.at[:, pl.ds(own_lo, rows)], qo.at[:, pl.ds(lo, rows)]),
+        (ps.at[:, pl.ds(own_lo, rows)], po.at[:, pl.ds(lo, rows)]),
+        (ss.at[pl.ds(own_lo, rows)], so.at[pl.ds(lo, rows)]),
+        (fs.at[:, pl.ds(own_lo, rows)], upo.at[:, pl.ds(lo, rows)]),
+        (vps.at[:, pl.ds(own_lo, rows)], vpo.at[:, pl.ds(lo, rows)]),
+        (qps.at[:, pl.ds(own_lo, rows)], qpo.at[:, pl.ds(lo, rows)]),
+        (pps.at[:, pl.ds(own_lo, rows)], ppo.at[:, pl.ds(lo, rows)]),
+        (sps.at[pl.ds(own_lo, rows)], spo.at[pl.ds(lo, rows)]),
+    ])
+
+
+def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
+                             d_s, count, taps, consts, n_bands: int,
+                             interpret: bool = False):
+    """``count`` fused iterations with the planes split into ``n_bands``
+    row bands inside ONE kernel.  Same returns as ``tight_fused_chunk``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nx, ny = u.shape
+    k = v.shape[0] // 2
+    # 8-aligned halo/rows: Mosaic DMA slice alignment (see fused_rof)
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    scal = _tight_scal(u, tau, sigma, theta, radius, d_s)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    state = (u, v, q, p, s)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in state + state]
+    out_shape.append(jax.ShapeDtypeStruct((4, n_bands), u.dtype))
+    dt = u.dtype
+    vm = pltpu.VMEM
+    outs = pl.pallas_call(
+        partial(_tight_banded_kernel, count=int(count), L=L, k=k,
+                taps=taps, consts=consts, nx=nx, rows=rows, halo=halo),
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 6,
+        out_specs=[hbm] * 10 + [smem],
+        scratch_shapes=[
+            vm((L, ext, ny), dt), vm((2 * k, ext, ny), dt),
+            vm((2 * L, ext, ny), dt), vm((2 * k, ext, ny), dt),
+            vm((ext, ny), dt), vm((L, ext, ny), dt),
+            vm((2 * k, ext, ny), dt), vm((2 * L, ext, ny), dt),
+            vm((2 * k, ext, ny), dt), vm((ext, ny), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, v, q, p, s, f)
+    return outs[:5], outs[5:10], jnp.sum(outs[10], axis=1)
+
+
 def tight_fused_chunk_tiled(u, v, q, p, s, f, tau, sigma, theta, radius,
                             d_s, count, taps, consts, n_bands: int,
                             interpret: bool = False):
@@ -472,7 +587,7 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
                 u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
                 radius, d_s, ri, taps, consts, interpret=interpret)
         else:
-            new, prev, norms2 = tight_fused_chunk_tiled(
+            new, prev, norms2 = tight_fused_chunk_banded(
                 u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
                 radius, d_s, ri, taps, consts, n_bands,
                 interpret=interpret)

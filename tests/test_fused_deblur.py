@@ -167,6 +167,49 @@ def test_deblur_tiled_chunk_bit_equal_to_whole_plane(n_bands):
                                rtol=1e-5, atol=1e-10)
 
 
+@pytest.mark.parametrize("n_bands", [2, 3])
+def test_deblur_banded_chunk_matches_whole_plane(n_bands):
+    """Single-launch grid-banded deblur kernel (manual HBM DMAs with
+    zero-filled domain-edge halos) == whole-plane kernel.  nx=46 makes
+    nx2=48 split into 8-multiple rows for both band counts."""
+    from prost_tpu.ops.fused_deblur import (deblur_banded_ok,
+                                            deblur_fused_chunk,
+                                            deblur_fused_chunk_banded,
+                                            match_deblur_structure)
+
+    nx, ny, k = 46, 12, 3
+    prob, _ = deblur_problem(nx, ny, lmb=25.0, seed=2, k=k)
+    b = BackendPDHG(prob, PDHGOptions(scale_steps_operator=False), _opts())
+    m = match_deblur_structure(prob, b.prox_g, b.prox_fstar)
+    assert m is not None
+    nx2, ny2 = m["nx2"], m["ny2"]
+    assert deblur_banded_ok(nx2, n_bands)
+    ri = 2
+    rng = np.random.RandomState(13)
+
+    def emb(a):
+        out = np.zeros(a.shape[:-2] + (nx2, ny2), np.float32)
+        out[..., :nx, :ny] = a
+        return jnp.asarray(out)
+
+    x = emb(rng.rand(nx, ny).astype(np.float32))
+    q = emb(0.2 * rng.randn(2, nx, ny).astype(np.float32))
+    yv = jnp.asarray(0.1 * rng.randn(nx2, ny2), jnp.float32)
+    args = (0.9, 1.1, 1.0, m["lmb"], m["radius"])
+
+    ref = deblur_fused_chunk(x, yv, q, m["fb"], m["sv"], *args, ri,
+                             nx, ny, m["taps"], m["sig_q"], m["tau_t"],
+                             interpret=True)
+    ban = deblur_fused_chunk_banded(x, yv, q, m["fb"], m["sv"], *args, ri,
+                                    nx, ny, m["taps"], m["sig_q"],
+                                    m["tau_t"], n_bands, interpret=True)
+    for a, b_ in zip(ref[:6], ban[:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   atol=1e-6, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(ban[6]),
+                               rtol=1e-5, atol=1e-10)
+
+
 def test_deblur_tiled_end_to_end_matches_generic():
     prob, _ = deblur_problem(20, 12, lmb=25.0, seed=3, k=3)
     popts = PDHGOptions(stepsize="boyd", residual_iter=2,

@@ -165,6 +165,42 @@ def test_tight_tiled_chunk_bit_equal_to_whole_plane(n_bands):
                                rtol=1e-5, atol=1e-10)
 
 
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_tight_banded_chunk_matches_whole_plane(n_bands):
+    """Single-launch grid-banded tight kernel (manual HBM halo DMAs) ==
+    the whole-plane kernel to <= 1 ulp."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_tight import (match_tight_structure,
+                                           tight_fused_chunk,
+                                           tight_fused_chunk_banded)
+
+    nx, ny, L = 64, 16, 3
+    k = L * (L - 1) // 2
+    prob = tight_problem(nx, ny, L=L, lmb=0.8, seed=4)
+    m = match_tight_structure(prob)
+    assert m is not None
+    ri = 4
+    rng = np.random.RandomState(11)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    v = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    p = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, m["radius"], m["d_s"])
+
+    ref = tight_fused_chunk(u, v, q, p, s, m["f"], *args, ri,
+                            m["taps"], m["consts"], interpret=True)
+    ban = tight_fused_chunk_banded(u, v, q, p, s, m["f"], *args, ri,
+                                   m["taps"], m["consts"], n_bands,
+                                   interpret=True)
+    for a, b in zip(ref[0] + ref[1], ban[0] + ban[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(ban[2]),
+                               rtol=1e-5, atol=1e-10)
+
+
 def test_tight_tiled_end_to_end_matches_generic():
     prob = tight_problem(16, 12, L=3, lmb=0.8, seed=5)
     popts = PDHGOptions(stepsize="boyd", residual_iter=3,

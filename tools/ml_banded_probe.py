@@ -5,9 +5,13 @@ at 512x512x8, and (c) the banded kernel at 256x256x8 with n_bands=2
 compute slowness from chunk-level effects.  Two-point timing per
 bench.py's method."""
 
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def timeit(fn, *args, short=20, long_=220):
@@ -24,11 +28,15 @@ def timeit(fn, *args, short=20, long_=220):
         jax.block_until_ready(o)
         return time.perf_counter() - t0
 
+    # contention on the remote tunnel can make a two-point delta negative;
+    # keep the smallest POSITIVE estimate over several attempts
     best = float("inf")
-    for _ in range(2):
+    for _ in range(4):
         ts = run(short)
         tl = run(long_)
-        best = min(best, (tl - ts) / (long_ - short))
+        est = (tl - ts) / (long_ - short)
+        if est > 0:
+            best = min(best, est)
     return best
 
 
@@ -63,7 +71,7 @@ def main():
 
     u, q, s, f = mk(8, 512, 512)
     b4 = jax.jit(lambda *a: ml_fused_chunk_banded(*a, *args, ri, 4))
-    t4 = timeit(b4, u, q, s, f, short=10, long_=110)
+    t4 = timeit(b4, u, q, s, f, short=30, long_=180)
     print(f"banded 512x512x8 nb=4: {1e6*t4:.0f} us/chunk "
           f"({t4/(4*t):.2f}x of 4x whole-256)", flush=True)
 

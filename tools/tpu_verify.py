@@ -1,0 +1,171 @@
+"""Hardware bit-equivalence verifier for the banded fused kernels.
+
+The pytest suite runs the Pallas kernels in INTERPRET mode on CPU, where
+out-of-range dynamic-slice starts are CLAMPED — a kernel whose manual
+DMAs use wrong offsets can pass every interpret-mode test and still
+write its outputs to the wrong rows on real hardware (this exact bug
+shipped in the ml banded kernel: per-band VMEM output blocks mixed with
+global row offsets).  This tool re-runs every banded-vs-whole-plane
+equivalence check ON THE REAL TPU and fails loudly on any mismatch.
+
+Run from the repo root: python tools/tpu_verify.py
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TOL = 1e-6  # hardware and interpret paths may fuse differently
+
+
+def _check(name, ref, got, tol=TOL):
+    import jax.numpy as jnp
+
+    d = float(jnp.max(jnp.abs(jnp.asarray(ref) - jnp.asarray(got))))
+    scale = float(jnp.max(jnp.abs(jnp.asarray(ref)))) or 1.0
+    ok = d <= tol * max(1.0, scale)
+    print(f"  {name}: maxdiff {d:.3e} {'OK' if ok else 'MISMATCH'}")
+    return ok
+
+
+def verify_rof():
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_rof import (rof_fused_chunk,
+                                         rof_fused_chunk_banded)
+
+    print("ROF banded (512x512, nb=4, ri=10):")
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.rand(512, 512), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2, 512, 512), jnp.float32)
+    f = jnp.asarray(rng.rand(512, 512), jnp.float32)
+    w = jnp.ones_like(x)
+    args = (0.9, 1.1, 1.0, 16.0, 0.5, 10)
+    ref = rof_fused_chunk(x, q, f, w, *args)
+    ban = rof_fused_chunk_banded(x, q, f, w, *args, 4)
+    ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:4], ban[:4])))
+    return ok and _check("norms", ref[4], ban[4], tol=1e-5)
+
+
+def verify_ml():
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_chunk_banded)
+
+    print("multilabel banded (256x256x8, nb=2, ri=10):")
+    rng = np.random.RandomState(4)
+    L, nx, ny = 8, 256, 256
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0, 10)
+    ref = ml_fused_chunk(u, q, s, f, *args)
+    ban = ml_fused_chunk_banded(u, q, s, f, *args, 2)
+    ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:6], ban[:6])))
+    return ok and _check("norms", ref[6], ban[6], tol=1e-5)
+
+
+def verify_tight():
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_tight import (tight_fused_chunk,
+                                           tight_fused_chunk_banded)
+
+    print("tight banded (128x128x4 k=6, nb=2, ri=10):")
+    rng = np.random.RandomState(5)
+    L, k, nx, ny = 4, 6, 128, 128
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    v = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    p = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    # P^T taps for the standard pairwise difference matrix on L labels
+    taps = []
+    m = 0
+    for a in range(L):
+        for b in range(a + 1, L):
+            for comp in range(2):  # x and y parts
+                taps.append((comp * L + a, comp * k + m, 1.0))
+                taps.append((comp * L + b, comp * k + m, -1.0))
+            m += 1
+    taps = tuple(taps)
+    consts = (0.5, 1.0, 1.0 / L, 1.0 / (2.0 + L), 1.0 / 3.0)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0, 10, taps, consts)
+    new_r, prev_r, n_r = tight_fused_chunk(u, v, q, p, s, f, *args)
+    new_b, prev_b, n_b = tight_fused_chunk_banded(u, v, q, p, s, f, *args, 2)
+    ok = all(_check(f"new[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(new_r, new_b)))
+    ok = all(_check(f"prev[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(prev_r, prev_b))) and ok
+    return ok and _check("norms", n_r, n_b, tol=1e-5)
+
+
+def verify_deblur():
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_deblur import (deblur_banded_ok,
+                                            deblur_fused_chunk,
+                                            deblur_fused_chunk_banded)
+
+    print("deblur banded (nx2=512, nb=2, ri=10, 7x7-reach taps):")
+    nx = ny = 506
+    k = 7
+    nx2 = ny2 = nx + k - 1
+    assert deblur_banded_ok(nx2, 2)
+    # normalized so the 10-iteration chunk stays numerically tame
+    taps = tuple((dx, dy, 1.0 / (16 * (1 + dx + dy)))
+                 for dx in range(0, k, 2) for dy in range(0, k, 2))
+    rng = np.random.RandomState(6)
+
+    def emb(a):
+        out = np.zeros(a.shape[:-2] + (nx2, ny2), np.float32)
+        out[..., :nx, :ny] = a
+        return jnp.asarray(out)
+
+    x = emb(rng.rand(nx, ny).astype(np.float32))
+    q = emb(0.2 * rng.randn(2, nx, ny).astype(np.float32))
+    yv = jnp.asarray(0.1 * rng.randn(nx2, ny2), jnp.float32)
+    fb = jnp.asarray(rng.rand(nx2, ny2), jnp.float32)
+    sv = jnp.asarray(0.5 + rng.rand(nx2, ny2), jnp.float32)
+    args = (0.9, 1.1, 1.0, 25.0, 0.5, 10, nx, ny, taps, 0.5, 0.2)
+    ref = deblur_fused_chunk(x, yv, q, fb, sv, *args)
+    ban = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args, 2)
+    ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:6], ban[:6])))
+    return ok and _check("norms", ref[6], ban[6], tol=1e-5)
+
+
+def main():
+    import jax
+
+    if jax.default_backend() == "cpu":
+        print("No TPU available — this verifier needs real hardware.")
+        sys.exit(2)
+    want = set(sys.argv[1:])  # optional subset, e.g. tpu_verify.py deblur
+    results = {}
+    for name, fn in (("rof", verify_rof), ("ml", verify_ml),
+                     ("tight", verify_tight), ("deblur", verify_deblur)):
+        if want and name not in want:
+            continue
+        try:
+            results[name] = fn()
+        except Exception as e:  # compile/runtime failure is a failure
+            print(f"  {name}: EXCEPTION {type(e).__name__}: {e}")
+            results[name] = False
+    bad = [k for k, v in results.items() if not v]
+    if bad:
+        print(f"FAILED: {', '.join(bad)}")
+        sys.exit(1)
+    print("all banded kernels bit-equivalent on hardware")
+
+
+if __name__ == "__main__":
+    main()
