@@ -449,6 +449,17 @@ def main(argv):
                             short=100, long_=1100, repeats=2)
         _extra("ensemble1024x128_instance_iters_per_sec", v * B, "it/s",
                5000.0)
+        # Large sizes through the grid-banded kernels (the whole-plane
+        # VMEM cap would otherwise force the 6-17x slower generic path):
+        # ROF 2048x2048 (8 bands; reference csrmv/kernel streaming scales
+        # pixel-linearly from ~3000 it/s at 512^2 -> ~187 it/s) and
+        # multilabel 512x512x8 (4 bands; ~375 it/s scaled from 1500).
+        v = measure_backend(build_rof(2048, 2048)[0],
+                            short=200, long_=2200, repeats=2)
+        _extra("rof2048_banded_iters_per_sec", v, "it/s", 187.0)
+        v = measure_backend(build_multilabel(512, 512, L=8),
+                            short=200, long_=2200, repeats=2)
+        _extra("multilabel512x8_banded_iters_per_sec", v, "it/s", 375.0)
 
     return 0
 
