@@ -143,6 +143,38 @@ def verify_deblur():
     return ok and _check("norms", ref[6], ban[6], tol=1e-5)
 
 
+def verify_admm():
+    """The ADMM chunk has no banded sibling to cross-check, so compare
+    the compiled Mosaic kernel against interpret mode (pure-JAX
+    semantics) on the same inputs.  Loose tolerance: the in-kernel CGLS
+    loop accumulates fma-contraction differences over 10x10 steps; this
+    catches layout/offset bugs, not ulp drift."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_admm import admm_fused_chunk
+
+    print("ADMM chunk (256x256, ri=10, cg 10): compiled vs interpret:")
+    rng = np.random.RandomState(7)
+    nx = ny = 256
+
+    def plane(*lead):
+        return jnp.asarray(0.3 * rng.randn(*lead, nx, ny), jnp.float32)
+
+    xh, xp, xd, warm = plane(), plane(), plane(), plane()
+    zh, zp, zd = plane(2), plane(2), plane(2)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(f)
+    rho = jnp.asarray(1.0, jnp.float32)
+    cg_tols = jnp.asarray(1e-3 / (1 + np.arange(10.0)), jnp.float32)
+    args = (xh, xp, xd, zh, zp, zd, warm, f, w, rho, 16.0, 0.5,
+            cg_tols, 10, 10, 1.7)
+    hw = admm_fused_chunk(*args)
+    ref = admm_fused_chunk(*args, interpret=True)
+    ok = all(_check(f"out[{i}]", a, b, tol=1e-3) for i, (a, b) in
+             enumerate(zip(ref[:7], hw[:7])))
+    return ok and _check("norms", ref[7], hw[7], tol=1e-3)
+
+
 def main():
     import jax
 
@@ -152,7 +184,8 @@ def main():
     want = set(sys.argv[1:])  # optional subset, e.g. tpu_verify.py deblur
     results = {}
     for name, fn in (("rof", verify_rof), ("ml", verify_ml),
-                     ("tight", verify_tight), ("deblur", verify_deblur)):
+                     ("tight", verify_tight), ("deblur", verify_deblur),
+                     ("admm", verify_admm)):
         if want and name not in want:
             continue
         try:
