@@ -447,7 +447,11 @@ def ml_band_count(nx: int, ny: int, L: int, residual_iter: int,
                   itemsize: int = 4):
     """Row-band tiling factor (cf. fused_rof.band_count): smallest divisor
     of nx whose halo-extended band keeps the ~(15L + 5) live label-planes
-    under the VMEM limit; 1 = whole plane, None = no efficient tiling."""
+    under the VMEM limit; 1 = whole plane, None = no efficient tiling.
+
+    Don't be tempted to prefer wider bands for less halo recompute: at
+    512x512x8/ri=10, nb=2 measured SLOWER than this function's nb=4
+    (668 vs 630 us/chunk) — VMEM pressure beats the halo saving."""
     from .fused_rof import band_count
 
     return band_count(nx, ny, residual_iter, n_planes=15 * L + 5,
