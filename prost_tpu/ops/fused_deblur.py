@@ -568,6 +568,12 @@ def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
         rows = -(-nx2 // n_bands)
         if rows < halo:
             return None
+        if deblur_banded_ok(nx2, n_bands) and not fits(rows, halo8):
+            # dispatch (_fused_deblur_run) routes exact 8-aligned divisors
+            # to the single-launch banded kernel, whose windows use the
+            # 8-ROUNDED halo — a tiling that only fits with the unrounded
+            # halo would risk a Mosaic capacity rejection there
+            continue
         if fits(rows, halo):
             return n_bands
     return None

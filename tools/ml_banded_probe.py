@@ -37,6 +37,11 @@ def timeit(fn, *args, short=20, long_=220):
         est = (tl - ts) / (long_ - short)
         if est > 0:
             best = min(best, est)
+    if best == float("inf"):
+        raise RuntimeError(
+            "measurement failed: all two-point deltas were non-positive "
+            "(tunnel contention) — rerun on a quieter chip"
+        )
     return best
 
 

@@ -8,17 +8,25 @@ shipped in the ml banded kernel: per-band VMEM output blocks mixed with
 global row offsets).  This tool re-runs every banded-vs-whole-plane
 equivalence check ON THE REAL TPU and fails loudly on any mismatch.
 
-Run from the repo root: python tools/tpu_verify.py
+Run from the repo root: python tools/tpu_verify.py [subset...]
+[--json PATH].  --json writes the per-check maxdiffs as a committable
+artifact (VERIFY_r*.json) so each round's hardware verification leaves
+a record; bench.py refuses to label banded numbers "verified" without
+a current one.
 """
 
+import json
 import os
 import sys
+import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 TOL = 1e-6  # hardware and interpret paths may fuse differently
+
+_CHECKS = []  # (name, maxdiff, ok) records for the --json artifact
 
 
 def _check(name, ref, got, tol=TOL):
@@ -28,6 +36,7 @@ def _check(name, ref, got, tol=TOL):
     scale = float(jnp.max(jnp.abs(jnp.asarray(ref)))) or 1.0
     ok = d <= tol * max(1.0, scale)
     print(f"  {name}: maxdiff {d:.3e} {'OK' if ok else 'MISMATCH'}")
+    _CHECKS.append({"check": name, "maxdiff": d, "ok": ok})
     return ok
 
 
@@ -69,7 +78,13 @@ def verify_ml():
     ban = ml_fused_chunk_banded(u, q, s, f, *args, 2)
     ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:6], ban[:6])))
-    return ok and _check("norms", ref[6], ban[6], tol=1e-5)
+    ok = _check("norms", ref[6], ban[6], tol=1e-5) and ok
+    # wider band count: nb=4 exercises TWO interior bands (both the
+    # clamped-low and clamped-high DMA offset branches plus unclamped)
+    ban4 = ml_fused_chunk_banded(u, q, s, f, *args, 4)
+    ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:6], ban4[:6]))) and ok
+    return ok and _check("nb4 norms", ref[6], ban4[6], tol=1e-5)
 
 
 def verify_tight():
@@ -105,7 +120,13 @@ def verify_tight():
              enumerate(zip(new_r, new_b)))
     ok = all(_check(f"prev[{i}]", a, b) for i, (a, b) in
              enumerate(zip(prev_r, prev_b))) and ok
-    return ok and _check("norms", n_r, n_b, tol=1e-5)
+    ok = _check("norms", n_r, n_b, tol=1e-5) and ok
+    # wider band count: interior bands' unclamped DMA offsets
+    new_b4, prev_b4, n_b4 = tight_fused_chunk_banded(
+        u, v, q, p, s, f, *args, 4)
+    ok = all(_check(f"nb4 new[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(new_r, new_b4))) and ok
+    return ok and _check("nb4 norms", n_r, n_b4, tol=1e-5)
 
 
 def verify_deblur():
@@ -140,7 +161,14 @@ def verify_deblur():
     ban = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args, 2)
     ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:6], ban[:6])))
-    return ok and _check("norms", ref[6], ban[6], tol=1e-5)
+    ok = _check("norms", ref[6], ban[6], tol=1e-5) and ok
+    # nb=4 exercises the MIDDLE-band DMA branch (distinct offset
+    # arithmetic from the clamped edge bands) on real hardware
+    assert deblur_banded_ok(nx2, 4)
+    ban4 = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args, 4)
+    ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:6], ban4[:6]))) and ok
+    return ok and _check("nb4 norms", ref[6], ban4[6], tol=1e-5)
 
 
 def verify_admm():
@@ -175,25 +203,56 @@ def verify_admm():
     return ok and _check("norms", ref[7], hw[7], tol=1e-3)
 
 
+def verify_admm_banded():
+    raise NotImplementedError("filled in with the banded ADMM kernel")
+
+
+def verify_sharded_banded():
+    raise NotImplementedError("filled in with the sharded-banded kernels")
+
+
+def verify_ensemble_banded():
+    raise NotImplementedError("filled in with the banded-batched kernel")
+
+
 def main():
     import jax
 
     if jax.default_backend() == "cpu":
         print("No TPU available — this verifier needs real hardware.")
         sys.exit(2)
-    want = set(sys.argv[1:])  # optional subset, e.g. tpu_verify.py deblur
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    want = set(argv)  # optional subset, e.g. tpu_verify.py deblur
     results = {}
     for name, fn in (("rof", verify_rof), ("ml", verify_ml),
                      ("tight", verify_tight), ("deblur", verify_deblur),
-                     ("admm", verify_admm)):
+                     ("admm", verify_admm), ("admm_banded", verify_admm_banded),
+                     ("sharded_banded", verify_sharded_banded),
+                     ("ensemble_banded", verify_ensemble_banded)):
         if want and name not in want:
             continue
+        del _CHECKS[:]
         try:
-            results[name] = fn()
+            results[name] = {"ok": fn()}
         except Exception as e:  # compile/runtime failure is a failure
             print(f"  {name}: EXCEPTION {type(e).__name__}: {e}")
-            results[name] = False
-    bad = [k for k, v in results.items() if not v]
+            results[name] = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        results[name]["checks"] = list(_CHECKS)
+    if json_path:
+        with open(json_path, "w") as fh:
+            json.dump({
+                "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "device": str(jax.devices()[0]),
+                "partial": sorted(want) if want else False,
+                "results": results,
+            }, fh, indent=1)
+        print(f"wrote {json_path}")
+    bad = [k for k, v in results.items() if not v["ok"]]
     if bad:
         print(f"FAILED: {', '.join(bad)}")
         sys.exit(1)
