@@ -74,8 +74,15 @@ class ADMMOptions:
     # "dct"  = EXACT graph projection for lone-gradient2d problems with
     # constant preconditioner: (I + c^2 G^T G) u = rhs is a screened
     # Neumann-Laplacian solve, diagonalized by DCT-II (no reference
-    # analog — a TPU-native direct O(n log n) alternative to the CG loop)
-    projection: str = "cgls"
+    # analog — a TPU-native direct O(n log n) alternative to the CG loop);
+    # "cheby" = fixed-coefficient Chebyshev iteration on the same system
+    # (spectrum [1, 1 + 8 c^2]): zero dot products, so it stays band-local
+    # in the fused banded kernel (ops/fused_admm.py) — same per-step
+    # contraction rate as CGLS on this well-conditioned system;
+    # "auto" = cgls here; the fused backend (FusedROFADMM) resolves it to
+    # whole-plane CGLS or banded Chebyshev by VMEM fit.
+    projection: str = "auto"
+    cheby_degree: int = 10
 
 
 @pytree_dataclass
@@ -128,15 +135,16 @@ class BackendADMM:
         else:
             raise ProstError("Neither prox_f nor prox_fstar specified.")
 
-        if opts.projection == "dct":
-            self.dct_plan = dct_projection_plan(problem)
-            if self.dct_plan is None:
+        if opts.projection in ("dct", "cheby"):
+            self.proj_plan = dct_projection_plan(problem)
+            if self.proj_plan is None:
                 raise ProstError(
-                    "ADMMOptions(projection='dct') requires a lone "
-                    "gradient2d operator with constant preconditioner."
+                    f"ADMMOptions(projection='{opts.projection}') requires "
+                    "a lone gradient2d operator with constant "
+                    "preconditioner."
                 )
-        elif opts.projection == "cgls":
-            self.dct_plan = None
+        elif opts.projection in ("cgls", "auto"):
+            self.proj_plan = None
         else:
             raise ProstError(f"Unknown projection '{opts.projection}'.")
 
@@ -181,7 +189,7 @@ class BackendADMM:
             self.prox_g,
             self.prox_f,
             self.opts,
-            self.dct_plan,
+            self.proj_plan,
             (sopts.tol_rel_primal, sopts.tol_rel_dual,
              sopts.tol_abs_primal, sopts.tol_abs_dual),
             state,
@@ -247,6 +255,37 @@ def _dct_project(plan, rhs):
                  norm="ortho", axes=(1, 2)).reshape(-1)
 
 
+def _cheby_project_generic(plan, k_tilde, k_tilde_adj, d, u0, degree: int):
+    """Solve min ||K~ u - d||^2 + ||u||^2 by ``degree`` steps of the
+    classical Chebyshev iteration on (I + K~^T K~) u = K~^T d, warm-started
+    from u0.  ``plan`` = (L, nx, ny, c2) is static: the spectrum bound
+    1 + 8*c2 (Neumann-Laplacian eigenvalues in [0, 8) scaled by
+    c2 = Sigma*Tau) folds into compile-time coefficients, so the solve has
+    NO reductions — the property that makes it band/shard-local in the
+    fused kernels (ops/fused_admm.py mirrors this algebra exactly)."""
+    _, _, _, c2 = plan
+    hi = 1.0 + 8.0 * c2
+    theta = (hi + 1.0) / 2.0
+    delta = (hi - 1.0) / 2.0
+    sigma1 = theta / delta
+
+    def M(u):
+        return u + k_tilde_adj(k_tilde(u))
+
+    b = k_tilde_adj(d)
+    r = b - M(u0)
+    x = u0
+    dv = r * (1.0 / theta)
+    rho_prev = 1.0 / sigma1
+    for _ in range(int(degree) - 1):
+        x = x + dv
+        r = r - M(dv)
+        rho_k = 1.0 / (2.0 * sigma1 - rho_prev)
+        dv = rho_k * rho_prev * dv + (2.0 * rho_k / delta) * r
+        rho_prev = rho_k
+    return x + dv
+
+
 def admm_residual_adapt(problem, opts: ADMMOptions, tols, q: ADMMState,
                         primal_res, primal_norm, dual_res, dual_norm):
     """Store residual norms, test convergence, and run the Boyd
@@ -280,7 +319,7 @@ def admm_residual_adapt(problem, opts: ADMMOptions, tols, q: ADMMState,
 
 
 def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState,
-              dct_plan=None):
+              proj_plan=None):
     """One graph-projection ADMM iteration as a pure function."""
     Sigma = problem.scaling_left
     Tau = problem.scaling_right
@@ -303,7 +342,10 @@ def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState,
     if opts.projection == "dct":
         # exact solve of the normal equations in DCT space; the static
         # plan was validated at backend construction (BackendADMM.__init__)
-        u = _dct_project(dct_plan, k_tilde_adj(d))
+        u = _dct_project(proj_plan, k_tilde_adj(d))
+    elif opts.projection == "cheby":
+        u = _cheby_project_generic(proj_plan, k_tilde, k_tilde_adj, d,
+                                   s.cg_warm, opts.cheby_degree)
     else:
         # the reference's warm-started CGLS with its tolerance schedule
         it_f = (s.iteration + 1).astype(t1.dtype)
@@ -350,11 +392,11 @@ def admm_step(problem, prox_g, prox_f, opts: ADMMOptions, tols, s: ADMMState,
 
 
 @partial(jax.jit, static_argnums=(3, 4), donate_argnums=(6,))
-def _admm_run(problem, prox_g, prox_f, opts: ADMMOptions, dct_plan, tols,
+def _admm_run(problem, prox_g, prox_f, opts: ADMMOptions, proj_plan, tols,
               state, until):
     def body(s: ADMMState) -> ADMMState:
         return admm_step(problem, prox_g, prox_f, opts, tols, s,
-                         dct_plan=dct_plan)
+                         proj_plan=proj_plan)
 
     def cond(s: ADMMState):
         return (s.iteration < until) & ~s.converged

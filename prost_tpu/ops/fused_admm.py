@@ -29,6 +29,29 @@ TPU-first design, mirroring the fused PDHG chunk kernel:
   structure.  rho is constant within a chunk by construction (the
   reference adapts it only at residual iterations).
 
+Large sizes (the whole-plane VMEM cap): CGLS cannot band — every CG step
+takes two GLOBAL dot products (alpha, beta), so a row band computing with
+local reductions would follow a different CG trajectory than the whole
+plane.  But with the constant alpha preconditioner the projection solves
+
+    (I + c_K^2 grad^T grad) u = rhs,   c_K^2 = Sigma*Tau = 1/8,
+
+and the Neumann-Laplacian spectrum [0, 8) puts the operator's spectrum in
+[1, 2): condition number <= 2.  A fixed-coefficient CHEBYSHEV iteration
+on that interval converges at the same (sqrt(2)-1)/(sqrt(2)+1) = 0.172
+per-step rate as CGLS — with ZERO dot products.  All coefficients are
+compile-time constants, so the solve is pure stencils + pointwise:
+band-local with a recompute halo, exactly like the PDHG banded kernels.
+``_admm_banded_call`` runs ONE outer iteration per launch (grid over row
+bands, manual halo-window DMAs, halo = 2*degree + 4 rows); cross-band
+information exchange happens through HBM between launches.  Banded and
+whole-plane Chebyshev paths are bit-equivalent on owned rows; Chebyshev
+vs CGLS agree to the projection tolerance (both inexact solvers of the
+same SPD system — the reference itself ships an inexact warm-started
+CGLS, backend_admm.cu:408-441).  projection="auto" (the default) picks
+CGLS whole-plane when the problem fits VMEM and banded Chebyshev when it
+does not, so fused ADMM no longer has a size cliff.
+
 Layout contract: x-like planes (nx, ny); z-like arrays (2, nx, ny).
 """
 
@@ -101,10 +124,60 @@ def _cgls_masked(d_x, d_y, u0, tol, maxit: int, ops):
     return x
 
 
-def _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, dt1_or_w, cg_tol, rho,
-               lmb, radius, alpha, maxit, ops, dataterm: str):
+# Chebyshev iteration constants for (I + c_K^2 grad^T grad) with the
+# constant alpha preconditioner: spectrum in [1, 2) (Neumann Laplacian
+# eigenvalues 4 sin^2 + 4 sin^2 in [0, 8), times c_K^2 = 1/8)
+_CHEB_THETA = 1.5   # interval midpoint
+_CHEB_DELTA = 0.5   # interval half-width
+_CHEB_SIGMA1 = _CHEB_THETA / _CHEB_DELTA
+
+
+def _cheby_project(d_x, d_y, u0, degree: int, ops):
+    """Solve min ||A u - d||^2 + ||u||^2 (A = c_K grad) by ``degree`` steps
+    of the classical Chebyshev iteration on the normal equations
+    (I + A^T A) u = A^T d, warm-started from u0.  All coefficients are
+    Python floats (unrolled, constant-folded) — no reductions, so the
+    solve is band-local with a 2-rows-per-step information reach.
+
+    Error bound: 2 * ((sqrt(2)-1)/(sqrt(2)+1))^degree relative to the
+    warm-start residual in the M-norm — degree 10 reaches ~4e-8, beyond
+    f32 resolution and on par with the reference's cg_max_iter=10 CGLS
+    (same per-step contraction rate on this kappa=2 system)."""
+    _dx, _dy, _dxt, _dyt = ops
+    c2 = _C_K * _C_K
+
+    def M(u):
+        return u + c2 * (_dxt(_dx(u)) + _dyt(_dy(u)))
+
+    b = _C_K * (_dxt(d_x) + _dyt(d_y))
+    r = b - M(u0)
+    x = u0
+    d = r * (1.0 / _CHEB_THETA)
+    rho_prev = 1.0 / _CHEB_SIGMA1
+    for _ in range(degree - 1):
+        x = x + d
+        r = r - M(d)
+        rho_k = 1.0 / (2.0 * _CHEB_SIGMA1 - rho_prev)
+        d = rho_k * rho_prev * d + (2.0 * rho_k / _CHEB_DELTA) * r
+        rho_prev = rho_k
+    return x + d
+
+
+def admm_cheby_halo_rows(degree: int) -> int:
+    """Row-information reach of one banded Chebyshev-ADMM iteration
+    (8-rounded for the DMA alignment rule): the degree-(n-1) polynomial in
+    M = I + c^2 grad^T grad reaches 2(degree-1) rows, plus rhs/t1 assembly
+    (2), the warm-residual M-apply (2), zp = grad(x_proj) (1), and the
+    residual iteration's extra stencil (1)."""
+    return -(-(2 * int(degree) + 4) // 8) * 8
+
+
+def _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, dt1_or_w, project, rho,
+               lmb, radius, alpha, ops, dataterm: str):
     """One graph-projection ADMM iteration on VMEM-resident planes
     (admm_step in backend/admm.py, specialized to constant Sigma/Tau).
+    ``project(d_x, d_y, warm)`` is the inner least-squares solver (masked
+    CGLS or Chebyshev).
 
     z-like values travel as (zx, zy) plane pairs packed in tuples."""
     zh_x, zh_y = zh
@@ -121,7 +194,7 @@ def _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, dt1_or_w, cg_tol, rho,
     # graph projection: min ||K~ u - d||^2 + ||u||^2, warm-started
     d_x = t2_x - _C_K * _dx(t1)
     d_y = t2_y - _C_K * _dy(t1)
-    u = _cgls_masked(d_x, d_y, warm, cg_tol, maxit, ops)
+    u = project(d_x, d_y, warm)
 
     xp_n = _SQRT_T * (u + t1)
     zp_nx = _dx(xp_n)
@@ -156,16 +229,42 @@ def _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, dt1_or_w, cg_tol, rho,
             (zd_nx, zd_ny), u)
 
 
+def _admm_norms(xh, xp, xd, zh, zp, zd, rho, ops, nsum=jnp.sum):
+    """The four SQUARED preconditioned residual norms of an ADMM iterate
+    (backend_admm.cu:535-630) with the constant preconditioners
+    Sigma = 1/2, Tau = 1/4.  ``nsum`` restricts to owned rows for
+    banded/sharded use."""
+    kx_x, kx_y = ops[0](xh), ops[1](xh)
+    pr_x = _SQRT_S * (kx_x - zh[0])
+    pr_y = _SQRT_S * (kx_y - zh[1])
+    pn_x = _SQRT_S * zh[0]
+    pn_y = _SQRT_S * zh[1]
+    wv = (-rho * 4.0) * (xh - xp + xd)          # -rho / Tau
+    y_x = (-rho * 0.5) * (zh[0] - zp[0] + zd[0])  # -rho * Sigma
+    y_y = (-rho * 0.5) * (zh[1] - zp[1] + zd[1])
+    kty = ops[2](y_x) + ops[3](y_y)
+    dn = _SQRT_T * wv
+    dr = _SQRT_T * (wv + kty)
+    return (
+        nsum(pr_x * pr_x) + nsum(pr_y * pr_y),
+        nsum(pn_x * pn_x) + nsum(pn_y * pn_y),
+        nsum(dr * dr),
+        nsum(dn * dn),
+    )
+
+
 def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
                        zh_ref, zp_ref, zd_ref, warm_ref, f_ref, w_ref,
                        xho_ref, xpo_ref, xdo_ref, zho_ref, zpo_ref,
                        zdo_ref, warmo_ref, norms_ref, *,
-                       count: int, maxit: int, alpha: float, dataterm: str):
+                       count: int, maxit: int, alpha: float, dataterm: str,
+                       cheby_degree: int | None = None):
     """A whole residual_iter-sized chunk of ADMM iterations in one kernel,
     residual norms (squared) of the final iteration reduced to SMEM.
 
     scal_ref (SMEM): [rho, lmb, radius]; tols_ref (SMEM, count): the CG
-    tolerance schedule for the chunk's iterations.
+    tolerance schedule for the chunk's iterations (ignored by the
+    Chebyshev projection, whose degree is fixed).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -182,9 +281,14 @@ def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
 
     def body(k, carry):
         xh, xp, xd, zh, zp, zd, warm = carry
+        if cheby_degree is not None:
+            project = partial(_cheby_project, degree=cheby_degree, ops=ops)
+        else:
+            def project(d_x, d_y, u0):
+                return _cgls_masked(d_x, d_y, u0, tols_ref[k], maxit, ops)
         return _admm_iter(
-            xh, xp, xd, zh, zp, zd, warm, f, w, tols_ref[k], rho,
-            lmb, radius, alpha, maxit, ops, dataterm)
+            xh, xp, xd, zh, zp, zd, warm, f, w, project, rho,
+            lmb, radius, alpha, ops, dataterm)
 
     xh, xp, xd, zh, zp, zd, warm = lax.fori_loop(
         0, count, body,
@@ -192,24 +296,9 @@ def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
          (zh0[0], zh0[1]), (zp0[0], zp0[1]), (zd0[0], zd0[1]),
          warm_ref[...]))
 
-    # residuals of the final iterate (backend_admm.cu:535-630), with the
-    # constant preconditioners: Sigma = 1/2, Tau = 1/4
-    kx_x, kx_y = ops[0](xh), ops[1](xh)
-    pr_x = _SQRT_S * (kx_x - zh[0])
-    pr_y = _SQRT_S * (kx_y - zh[1])
-    pn_x = _SQRT_S * zh[0]
-    pn_y = _SQRT_S * zh[1]
-    wv = (-rho * 4.0) * (xh - xp + xd)          # -rho / Tau
-    y_x = (-rho * 0.5) * (zh[0] - zp[0] + zd[0])  # -rho * Sigma
-    y_y = (-rho * 0.5) * (zh[1] - zp[1] + zd[1])
-    kty = ops[2](y_x) + ops[3](y_y)
-    dn = _SQRT_T * wv
-    dr = _SQRT_T * (wv + kty)
-
-    norms_ref[0] = jnp.sum(pr_x * pr_x) + jnp.sum(pr_y * pr_y)
-    norms_ref[1] = jnp.sum(pn_x * pn_x) + jnp.sum(pn_y * pn_y)
-    norms_ref[2] = jnp.sum(dr * dr)
-    norms_ref[3] = jnp.sum(dn * dn)
+    norms = _admm_norms(xh, xp, xd, zh, zp, zd, rho, ops)
+    for i in range(4):
+        norms_ref[i] = norms[i]
 
     xho_ref[...] = xh
     xpo_ref[...] = xp
@@ -225,10 +314,12 @@ def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
 
 def admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
                      cg_tols, count, maxit, alpha,
-                     dataterm: str = "square", interpret: bool = False):
+                     dataterm: str = "square", interpret: bool = False,
+                     cheby_degree: int | None = None):
     """``count`` fused ADMM iterations ending on a residual iteration, in
     one kernel.  x-like planes (nx, ny), z-like (2, nx, ny); cg_tols is
-    the (count,) CG tolerance schedule.  Returns the updated 7 state
+    the (count,) CG tolerance schedule (ignored when ``cheby_degree``
+    selects the Chebyshev projection).  Returns the updated 7 state
     arrays + the length-4 vector of SQUARED residual norms."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -243,7 +334,8 @@ def admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     out_shape.append(jax.ShapeDtypeStruct((4,), xh.dtype))
     return pl.pallas_call(
         partial(_admm_chunk_kernel, count=int(count), maxit=int(maxit),
-                alpha=float(alpha), dataterm=dataterm),
+                alpha=float(alpha), dataterm=dataterm,
+                cheby_degree=cheby_degree),
         out_shape=out_shape,
         in_specs=[smem, smem] + [plane] * 9,
         out_specs=[plane] * 7 + [smem],
@@ -253,26 +345,218 @@ def admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     )(scal, cg_tols, xh, xp, xd, zh, zp, zd, warm, f, w)
 
 
+def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
+                        zd_hbm, warm_hbm, f_hbm, w_hbm,
+                        xho, xpo, xdo, zho, zpo, zdo, warmo, norms_ref,
+                        xhs, xps, xds, zhs, zps, zds, warms, fs, ws, sem, *,
+                        nx: int, ny: int, rows: int, halo: int, degree: int,
+                        alpha: float, dataterm: str, with_norms: bool):
+    """ONE banded Chebyshev-ADMM outer iteration: grid over row bands,
+    each band DMAs its clamped halo-extended window of the 10 state
+    planes (+ f/w) HBM->VMEM, runs `_admm_iter` with the dot-product-free
+    Chebyshev projection, and DMAs its owned rows back.  Residual norms
+    of the new iterate reduce per-band into the (4, n_bands) SMEM array
+    (summed by the caller) — cheap enough to compute every launch, and
+    the caller only reads them on residual iterations.
+
+    Same offset discipline as `_rof_banded_kernel`: memory_space=ANY in
+    AND out, offsets constructed as 8 * (...) so Mosaic proves sublane
+    alignment (interpret mode would CLAMP wrong offsets — hardware
+    verification via tools/tpu_verify.py is mandatory after changes
+    here)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    ext = xhs.shape[0]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    start = 8 * start8
+    own_lo = 8 * (i * r8 - start8)
+
+    def copies(pairs):
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+    fetches = [
+        (xh_hbm.at[pl.ds(start, ext)], xhs),
+        (xp_hbm.at[pl.ds(start, ext)], xps),
+        (xd_hbm.at[pl.ds(start, ext)], xds),
+        (zh_hbm.at[:, pl.ds(start, ext)], zhs),
+        (zp_hbm.at[:, pl.ds(start, ext)], zps),
+        (zd_hbm.at[:, pl.ds(start, ext)], zds),
+        (warm_hbm.at[pl.ds(start, ext)], warms),
+        (f_hbm.at[pl.ds(start, ext)], fs),
+    ]
+    if dataterm == "wsquare":
+        fetches.append((w_hbm.at[pl.ds(start, ext)], ws))
+    copies(fetches)
+
+    shape = (ext, ny)
+    ops = _shift_ops(shape, pltpu.roll, row_offset=start, nx_global=nx)
+    scal0 = scal_ref[0]
+    project = partial(_cheby_project, degree=degree, ops=ops)
+    w = ws[...] if dataterm == "wsquare" else None
+    zh0, zp0, zd0 = zhs[...], zps[...], zds[...]
+    xh, xp, xd, zh, zp, zd, u = _admm_iter(
+        xhs[...], xps[...], xds[...], (zh0[0], zh0[1]), (zp0[0], zp0[1]),
+        (zd0[0], zd0[1]), warms[...], fs[...], w, project, scal0,
+        scal_ref[1], scal_ref[2], alpha, ops, dataterm)
+
+    if with_norms:
+        lri = lax.broadcasted_iota(jnp.int32, shape, 0)
+        owned = (lri >= own_lo) & (lri < own_lo + rows)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+
+        norms = _admm_norms(xh, xp, xd, zh, zp, zd, scal0, ops, nsum)
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+    else:
+        for j in range(4):
+            norms_ref[j, i] = jnp.asarray(0.0, xh.dtype)
+
+    # stage results in the (now free) input scratch, DMA owned rows out
+    xhs[...] = xh
+    xps[...] = xp
+    xds[...] = xd
+    zhs[0], zhs[1] = zh
+    zps[0], zps[1] = zp
+    zds[0], zds[1] = zd
+    warms[...] = u
+    lo = 8 * (i * r8)
+    copies([
+        (xhs.at[pl.ds(own_lo, rows)], xho.at[pl.ds(lo, rows)]),
+        (xps.at[pl.ds(own_lo, rows)], xpo.at[pl.ds(lo, rows)]),
+        (xds.at[pl.ds(own_lo, rows)], xdo.at[pl.ds(lo, rows)]),
+        (zhs.at[:, pl.ds(own_lo, rows)], zho.at[:, pl.ds(lo, rows)]),
+        (zps.at[:, pl.ds(own_lo, rows)], zpo.at[:, pl.ds(lo, rows)]),
+        (zds.at[:, pl.ds(own_lo, rows)], zdo.at[:, pl.ds(lo, rows)]),
+        (warms.at[pl.ds(own_lo, rows)], warmo.at[pl.ds(lo, rows)]),
+    ])
+
+
+def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
+                     n_bands: int, degree: int, alpha: float,
+                     dataterm: str = "square", interpret: bool = False,
+                     with_norms: bool = True):
+    """One banded Chebyshev-ADMM outer iteration (single kernel launch,
+    grid over ``n_bands`` row bands).  Returns the 7 updated state arrays
+    + the 4-vector of SQUARED residual norms of the new iterate (zeros
+    when ``with_norms=False`` — the cheaper kernel for non-residual
+    iterations)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny = xh.shape
+    halo = admm_cheby_halo_rows(degree)
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    scal = jnp.stack([
+        rho, jnp.asarray(lmb, xh.dtype), jnp.asarray(radius, xh.dtype),
+    ])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (xh, xp, xd, zh, zp, zd, warm)]
+    out_shape.append(jax.ShapeDtypeStruct((4, n_bands), xh.dtype))
+    dt = xh.dtype
+    pl1 = pltpu.VMEM((ext, ny), dt)
+    pl2 = pltpu.VMEM((2, ext, ny), dt)
+    outs = pl.pallas_call(
+        partial(_admm_banded_kernel, nx=nx, ny=ny, rows=rows, halo=halo,
+                degree=int(degree), alpha=float(alpha), dataterm=dataterm,
+                with_norms=with_norms),
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 9,
+        out_specs=[hbm] * 7 + [smem],
+        scratch_shapes=[pl1, pl1, pl1, pl2, pl2, pl2, pl1, pl1, pl1,
+                        pltpu.SemaphoreType.DMA],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, xh, xp, xd, zh, zp, zd, warm, f, w)
+    return outs[:7] + (jnp.sum(outs[7], axis=1),)
+
+
+def admm_band_count(nx: int, ny: int, degree: int, n_planes: int = 24,
+                    itemsize: int = 4) -> int | None:
+    """Row-band tiling factor for the banded Chebyshev-ADMM kernel:
+    smallest divisor ``n_bands`` of nx (rows an 8-multiple, >= the halo)
+    whose halo-extended bands keep ~n_planes live planes (10 state + f +
+    Chebyshev temporaries) within 75% of the VMEM limit.  Returns None
+    when no such tiling exists (caller falls back to the generic path)."""
+    budget = int(0.75 * _VMEM_LIMIT)
+    halo = admm_cheby_halo_rows(degree)
+    for n_bands in range(2, nx + 1):
+        if nx % n_bands:
+            continue
+        rows = nx // n_bands
+        if rows % 8:
+            continue
+        if rows < halo:
+            return None
+        if (rows + 2 * halo) * ny * itemsize * n_planes <= budget:
+            return n_bands
+    return None
+
+
 class FusedROFADMM(BackendADMM):
-    """BackendADMM that runs ROF-structured problems through the fused
-    Pallas chunk kernel (CGLS inner loop included), falling back to the
-    generic path when the structure does not match."""
+    """BackendADMM that runs ROF-structured problems through fused Pallas
+    iterations, falling back to the generic path when the structure does
+    not match.  Inner-projection routing by ``opts.projection``:
+
+    * "auto" (default): whole-plane CGLS chunk kernel when the problem
+      fits VMEM (reference algebra, backend_admm.cu:408-441), banded
+      Chebyshev per-iteration kernel when it does not — fused ADMM has
+      no size cliff.
+    * "cgls": reference CGLS only; larger-than-VMEM problems run generic.
+    * "cheby": the fixed-coefficient Chebyshev projection at any size
+      (whole-plane chunk kernel or banded by VMEM fit).
+    * "dct": exact-projection generic path (admm.py), never fused.
+    """
 
     def __init__(self, problem, opts, solver_opts, interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
         self.interpret = interpret
         usable = (jax.default_backend() != "cpu") or interpret
-        # projection="dct" runs the exact-DCT generic path (admm.py), not
-        # the in-kernel CGLS
-        usable = usable and opts.projection == "cgls"
+        usable = usable and opts.projection in ("auto", "cgls", "cheby")
         self.rof = match_rof_structure(problem) if usable else None
-        if self.rof is not None and not fits_vmem(self.rof["nx"],
-                                                  self.rof["ny"]):
-            # whole-plane kernel only (no tiled ADMM variant yet: the
-            # in-kernel CGLS carries extra live planes)
+        self.mode = None
+        self.run_plan = None
+        if self.rof is not None:
+            whole = fits_vmem(self.rof["nx"], self.rof["ny"])
+            proj = opts.projection
+            if whole:
+                self.mode = "cheby" if proj == "cheby" else "cgls"
+            elif proj in ("auto", "cheby"):
+                nb = admm_band_count(self.rof["nx"], self.rof["ny"],
+                                     opts.cheby_degree)
+                if nb is not None:
+                    self.mode = "banded"
+                    self.rof["n_bands"] = nb
+        if self.mode in ("cheby", "banded"):
+            # generic align/tail phases run the SAME Chebyshev projection
+            # (plan-based, admm.py) so the whole run follows one solver
+            from ..backend.admm import dct_projection_plan
+
+            self.run_opts = dataclasses.replace(self.opts,
+                                                projection="cheby")
+            self.run_plan = dct_projection_plan(problem)
+        else:
+            self.run_opts = self.opts
+        if self.mode is None:
             self.rof = None
-        if self.rof is not None and self.solver_opts.verbose:
-            print("FusedROFADMM: using fused Pallas iteration.")
+        elif self.solver_opts.verbose:
+            print(f"FusedROFADMM: using fused Pallas iteration "
+                  f"({self.mode}).")
 
     def run(self, state: ADMMState, until_iter: int) -> ADMMState:
         if self.rof is None:
@@ -282,9 +566,19 @@ class FusedROFADMM(BackendADMM):
                 sopts.tol_abs_primal, sopts.tol_abs_dual)
         r = self.rof
         try:
+            if self.mode == "banded":
+                return _fused_admm_banded_run(
+                    self.problem, self.prox_g, self.prox_f, self.run_opts,
+                    self.run_plan, r["nx"], r["ny"], r["lmb"],
+                    r["dataterm"], r["n_bands"], self.interpret,
+                    tols, r["f"], r["w"],
+                    jnp.asarray(r["radius"], jnp.float32),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
             return _fused_admm_run(
-                self.problem, self.prox_g, self.prox_f, self.opts,
-                r["nx"], r["ny"], r["lmb"], r["dataterm"], self.interpret,
+                self.problem, self.prox_g, self.prox_f, self.run_opts,
+                self.run_plan, r["nx"], r["ny"], r["lmb"], r["dataterm"],
+                self.mode == "cheby", self.interpret,
                 tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
                 state, jnp.asarray(until_iter, jnp.int32),
             )
@@ -299,19 +593,24 @@ class FusedROFADMM(BackendADMM):
             return super().run(state, until_iter)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8), donate_argnums=(13,))
-def _fused_admm_run(problem, prox_g, prox_f, opts, nx, ny, lmb, dataterm,
-                    interpret, tols, f_plane, w_plane, radius, state, until):
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(15,))
+def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
+                    dataterm, cheby, interpret, tols, f_plane, w_plane,
+                    radius, state, until):
     """Chunked ADMM run.  The generic path computes residuals when the
     post-increment counter hits a multiple of residual_iter
     (backend/admm.py admm_step), so chunks start at iteration % ri == 0 —
     which the initial state already satisfies; a generic phase A handles
-    arbitrary warm-start offsets, phase C the tail."""
+    arbitrary warm-start offsets, phase C the tail.  ``cheby`` selects
+    the Chebyshev projection in-kernel (``plan`` carries the matching
+    generic-phase projection plan)."""
     ri = max(int(opts.residual_iter), 1)
     eps = jnp.finfo(f_plane.dtype).eps
 
     def generic(s: ADMMState) -> ADMMState:
-        return admm_step(problem, prox_g, prox_f, opts, tols, s)
+        return admm_step(problem, prox_g, prox_f, opts, tols, s,
+                         proj_plan=plan)
 
     def fused_chunk(s: ADMMState) -> ADMMState:
         xh = s.x_half.reshape(nx, ny)
@@ -333,7 +632,8 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, nx, ny, lmb, dataterm,
         xh, xp, xd, zh, zp, zd, warm, norms2 = admm_fused_chunk(
             xh, xp, xd, zh, zp, zd, warm, f_plane, w_plane,
             s.rho, lmb, radius, cg_tols, ri, opts.cg_max_iter,
-            opts.alpha, dataterm=dataterm, interpret=interpret)
+            opts.alpha, dataterm=dataterm, interpret=interpret,
+            cheby_degree=opts.cheby_degree if cheby else None)
         norms = jnp.sqrt(norms2)
         s = dataclasses.replace(
             s,
@@ -355,6 +655,75 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, nx, ny, lmb, dataterm,
     state = lax.while_loop(cond_a, generic, state)
 
     # phase B: fused chunks of exactly ri iterations
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    # phase C: generic tail
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(15,))
+def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
+                           dataterm, n_bands, interpret, tols, f_plane,
+                           w_plane, radius, state, until):
+    """Banded Chebyshev-ADMM run for planes too large for VMEM: one
+    banded kernel launch per outer iteration (cross-band information
+    flows through HBM between launches; within a launch each band
+    recomputes its halo), norms only on the chunk's residual iteration.
+    Phase structure identical to ``_fused_admm_run``; the generic
+    align/tail phases use the plan-based generic Chebyshev projection so
+    the whole run follows one inner solver."""
+    ri = max(int(opts.residual_iter), 1)
+    degree = int(opts.cheby_degree)
+
+    def generic(s: ADMMState) -> ADMMState:
+        return admm_step(problem, prox_g, prox_f, opts, tols, s,
+                         proj_plan=plan)
+
+    def banded_iter(s: ADMMState, with_norms: bool):
+        outs = admm_banded_iter(
+            s.x_half.reshape(nx, ny), s.x_proj.reshape(nx, ny),
+            s.x_dual.reshape(nx, ny), s.z_half.reshape(2, nx, ny),
+            s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
+            s.cg_warm.reshape(nx, ny), f_plane, w_plane,
+            s.rho, lmb, radius, n_bands, degree, opts.alpha,
+            dataterm=dataterm, interpret=interpret, with_norms=with_norms)
+        xh, xp, xd, zh, zp, zd, warm, norms2 = outs
+        s = dataclasses.replace(
+            s,
+            x_half=xh.reshape(-1), x_proj=xp.reshape(-1),
+            x_dual=xd.reshape(-1),
+            z_half=zh.reshape(-1), z_proj=zp.reshape(-1),
+            z_dual=zd.reshape(-1), cg_warm=warm.reshape(-1),
+            iteration=s.iteration + 1,
+        )
+        return s, norms2
+
+    def fused_chunk(s: ADMMState) -> ADMMState:
+        def body(_, q):
+            return banded_iter(q, with_norms=False)[0]
+
+        s = lax.fori_loop(0, ri - 1, body, s)
+        s, norms2 = banded_iter(s, with_norms=True)
+        norms = jnp.sqrt(norms2)
+        # adaptation sees the post-increment counter of the chunk's last
+        # iteration (cf. _fused_admm_run)
+        return admm_residual_adapt(
+            problem, opts, tols, s, norms[0], norms[1], norms[2], norms[3])
+
+    # phase A: align to the residual grid (iteration % ri == 0)
+    def cond_a(s):
+        return (s.iteration % ri != 0) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    # phase B: banded chunks of exactly ri iterations
     def cond_b(s):
         return (s.iteration + ri <= until) & ~s.converged
 

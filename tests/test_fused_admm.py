@@ -116,3 +116,136 @@ def test_fused_admm_full_solve_converges():
     e_admm = energy(res.x)
     e_pdhg = energy(pd.x)
     assert abs(e_admm - e_pdhg) < 5e-3 * abs(e_pdhg)
+
+
+# ---------------------------------------------------------------------------
+# Chebyshev projection (the band-local inner solver for large planes)
+# ---------------------------------------------------------------------------
+
+def test_generic_cheby_matches_cgls_solution():
+    """projection='cheby' (fixed-coefficient, dot-product-free) and the
+    reference CGLS are different inexact solvers of the SAME kappa<=2 SPD
+    system; at degree 10 both sit at the f32 floor, so the ADMM
+    trajectories agree to f32 arithmetic."""
+    nx, ny = 32, 24
+    rng = np.random.RandomState(11)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    g1 = BackendADMM(prob, ADMMOptions(residual_iter=10), _opts())
+    s1 = g1.run(g1.initial_state(), 60)
+    g2 = BackendADMM(prob, ADMMOptions(residual_iter=10,
+                                       projection="cheby"), _opts())
+    s2 = g2.run(g2.initial_state(), 60)
+    np.testing.assert_allclose(np.asarray(s1.x_half), np.asarray(s2.x_half),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(s1.rho), float(s2.rho), rtol=1e-6)
+
+
+def test_fused_cheby_matches_generic_cheby():
+    nx, ny = 48, 32
+    rng = np.random.RandomState(12)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    aopts = ADMMOptions(residual_iter=7, projection="cheby")
+    gen = BackendADMM(prob, aopts, _opts())
+    gs = gen.run(gen.initial_state(), 35)
+    fus = FusedROFADMM(prob, aopts, _opts(), interpret=True)
+    assert fus.mode == "cheby"
+    fs = fus.run(fus.initial_state(), 35)
+    np.testing.assert_allclose(np.asarray(fs.x_half), np.asarray(gs.x_half),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fs.cg_warm),
+                               np.asarray(gs.cg_warm), atol=5e-4)
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_banded_admm_matches_whole_plane(n_bands):
+    """The banded per-iteration Chebyshev kernel must reproduce the
+    whole-plane fused Chebyshev run (same algebra, different tiling)."""
+    nx, ny = 128, 32
+    rng = np.random.RandomState(13)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    aopts = ADMMOptions(residual_iter=10, projection="cheby")
+
+    whole = FusedROFADMM(prob, aopts, _opts(), interpret=True)
+    assert whole.mode == "cheby"
+    ws = whole.run(whole.initial_state(), 40)
+
+    band = FusedROFADMM(prob, aopts, _opts(), interpret=True)
+    band.mode = "banded"                      # force the banded path
+    band.rof["n_bands"] = n_bands
+    bs = band.run(band.initial_state(), 40)
+
+    assert int(bs.iteration) == int(ws.iteration) == 40
+    np.testing.assert_allclose(np.asarray(bs.x_half), np.asarray(ws.x_half),
+                               atol=2e-6)
+    np.testing.assert_allclose(np.asarray(bs.z_half), np.asarray(ws.z_half),
+                               atol=2e-6)
+    np.testing.assert_allclose(float(bs.primal_residual),
+                               float(ws.primal_residual), rtol=1e-4)
+    np.testing.assert_allclose(float(bs.rho), float(ws.rho), rtol=1e-6)
+
+
+def test_banded_kernel_unit_vs_whole_chunk():
+    """One banded launch == one whole-plane cheby chunk iteration,
+    including the owned-row norm split."""
+    from prost_tpu.ops.fused_admm import admm_banded_iter, admm_fused_chunk
+
+    nx, ny = 128, 32
+    rng = np.random.RandomState(14)
+
+    def plane(*lead):
+        return jnp_asarray(0.3 * rng.randn(*lead, nx, ny))
+
+    import jax.numpy as jnp
+
+    def jnp_asarray(a):
+        return jnp.asarray(a, jnp.float32)
+
+    xh, xp, xd, warm = plane(), plane(), plane(), plane()
+    zh, zp, zd = plane(2), plane(2), plane(2)
+    f = jnp_asarray(rng.rand(nx, ny))
+    w = jnp_asarray(np.ones((nx, ny)))
+    rho = jnp_asarray(np.float32(1.3))
+    tols = jnp_asarray(np.full(1, 1e-9))
+    ref = admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, 8.0,
+                           0.5, tols, 1, 10, 1.7, interpret=True,
+                           cheby_degree=10)
+    ban = admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, 8.0,
+                           0.5, 4, 10, 1.7, interpret=True)
+    for i, (a, b) in enumerate(zip(ref[:7], ban[:7])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=f"out[{i}]")
+    np.testing.assert_allclose(np.asarray(ref[7]), np.asarray(ban[7]),
+                               rtol=1e-5)
+
+
+def test_admm_band_count():
+    from prost_tpu.ops.fused_admm import admm_band_count, admm_cheby_halo_rows
+
+    assert admm_cheby_halo_rows(10) == 24
+    nb = admm_band_count(2048, 2048, 10)
+    assert nb is not None and 2048 % nb == 0
+    rows = 2048 // nb
+    assert rows % 8 == 0 and rows >= 24
+    # tiny plane has no banding need but a valid tiling must still exist
+    assert admm_band_count(4096, 4096, 10) is not None
+    # pathological: nx with no 8-divisible split above the halo
+    assert admm_band_count(40, 64, 10) is None
+
+
+def test_auto_projection_routes_large_to_banded():
+    """projection='auto' must pick cgls whole-plane at small sizes and
+    banded cheby above the VMEM cap (dispatch only — no kernel run)."""
+    nx, ny = 32, 24
+    rng = np.random.RandomState(15)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    fus = FusedROFADMM(prob, ADMMOptions(), _opts(), interpret=True)
+    assert fus.mode == "cgls"
+
+    from prost_tpu.ops import fused_admm as fa
+    from prost_tpu.ops.fused_rof import fits_vmem
+    assert not fits_vmem(2048, 2048)
+    assert fa.admm_band_count(2048, 2048, 10) is not None

@@ -204,7 +204,36 @@ def verify_admm():
 
 
 def verify_admm_banded():
-    raise NotImplementedError("filled in with the banded ADMM kernel")
+    """Banded Chebyshev-ADMM vs the whole-plane cheby chunk kernel on
+    real hardware — the banded kernel's manual window DMAs are exactly
+    the class of code interpret mode cannot validate."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_admm import admm_banded_iter, admm_fused_chunk
+
+    print("ADMM banded cheby (512x512, nb=4 + nb=8, deg=10):")
+    rng = np.random.RandomState(8)
+    nx = ny = 512
+
+    def plane(*lead):
+        return jnp.asarray(0.3 * rng.randn(*lead, nx, ny), jnp.float32)
+
+    xh, xp, xd, warm = plane(), plane(), plane(), plane()
+    zh, zp, zd = plane(2), plane(2), plane(2)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(f)
+    rho = jnp.asarray(1.3, jnp.float32)
+    tols = jnp.asarray([1e-9], jnp.float32)
+    ref = admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, 16.0,
+                           0.5, tols, 1, 10, 1.7, cheby_degree=10)
+    ok = True
+    for nb in (4, 8):
+        ban = admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho,
+                               16.0, 0.5, nb, 10, 1.7)
+        ok = all(_check(f"nb{nb} out[{i}]", a, b) for i, (a, b) in
+                 enumerate(zip(ref[:7], ban[:7]))) and ok
+        ok = _check(f"nb{nb} norms", ref[7], ban[7], tol=1e-5) and ok
+    return ok
 
 
 def verify_sharded_banded():
