@@ -87,8 +87,8 @@ def run(size=48, L=3, max_iters=20000, verbose=True, image=None):
         print(f"solved in {dt:.3f}s, {res.iterations} its, {res.result.value}")
         print(f"per-pixel label sums: min={labels.sum(0).min():.4f} "
               f"max={labels.sum(0).max():.4f}")
-    return {"u": u.val, "labels": labels, "iterations": res.iterations,
-            "result": res.result}
+    return {"u": u.val, "v": v.val, "labels": labels, "f": f, "lmb": lmb,
+            "P": P, "iterations": res.iterations, "result": res.result}
 
 
 def main():

@@ -390,12 +390,14 @@ def deblur_fused_chunk_tiled(x, yv, q, fb, sv, tau, sigma, theta, lmb,
             crop(res[4]), crop(res[5]), res[6])
 
 
-def _deblur_banded_kernel(scal_ref, x_hbm, yv_hbm, q_hbm, fb_hbm, sv_hbm,
+def _deblur_banded_kernel(scal_ref, off_ref, x_hbm, yv_hbm, q_hbm, fb_hbm,
+                          sv_hbm,
                           xo, yvo, qo, xpo, yvpo, qpo, norms_ref,
                           xs, yvs, qs, fbs, svs, qps, sem, *,
                           count: int, nx: int, ny: int, taps,
                           sig_q: float, tau_t: float,
-                          nx2: int, rows: int, halo: int, n_bands: int):
+                          nx2: int, rows: int, halo: int, n_bands: int,
+                          own_lo: int):
     """Grid-banded deblur chunk: ONE launch per chunk, manual DMAs, all
     inputs/outputs in HBM (memory_space=ANY) with GLOBAL row offsets (cf.
     fused_rof._rof_banded_kernel).  Unlike the ROF/ml banded kernels the
@@ -427,31 +429,40 @@ def _deblur_banded_kernel(scal_ref, x_hbm, yv_hbm, q_hbm, fb_hbm, sv_hbm,
         copies([(h.at[..., pl.ds(src_lo, size), :],
                  s.at[..., pl.ds(dst_lo, size), :]) for h, s in ins])
 
-    first = i == 0
-    last = i == n_bands - 1
+    if own_lo:
+        # sharded block: every band window is interior to the block (the
+        # exchanged shard halo >= the band halo, and ppermute's zero fill
+        # at the domain edges already realizes the conv's zero padding) —
+        # one uniform fetch, no clamping, no in-kernel zero rows
+        start = 8 * (own_lo // 8 + i * r8 - h8)
+        fetch(start, 0, ext)
+        row_offset = off_ref[0] + start
+    else:
+        first = i == 0
+        last = i == n_bands - 1
 
-    def zero_rows(s, lo):
-        s[..., pl.ds(lo, halo), :] = jnp.zeros(
-            tuple(s.shape[:-2]) + (halo, s.shape[-1]), s.dtype)
+        def zero_rows(s, lo):
+            s[..., pl.ds(lo, halo), :] = jnp.zeros(
+                tuple(s.shape[:-2]) + (halo, s.shape[-1]), s.dtype)
 
-    @pl.when(first)
-    def _():
-        for _, s in ins:
-            zero_rows(s, 0)
-        fetch(0, halo, valid)
-
-    @pl.when(last & ~first)
-    def _():
-        for _, s in ins:
-            zero_rows(s, valid)
-        fetch(nx2 - valid, 0, valid)
-
-    if n_bands > 2:  # middle bands exist; their full-ext window fits
-        @pl.when(~first & ~last)
+        @pl.when(first)
         def _():
-            fetch(8 * (i * r8 - h8), 0, ext)
+            for _, s in ins:
+                zero_rows(s, 0)
+            fetch(0, halo, valid)
 
-    row_offset = 8 * (i * r8 - h8)  # padded-window coordinate of row 0
+        @pl.when(last & ~first)
+        def _():
+            for _, s in ins:
+                zero_rows(s, valid)
+            fetch(nx2 - valid, 0, valid)
+
+        if n_bands > 2:  # middle bands exist; their full-ext window fits
+            @pl.when(~first & ~last)
+            def _():
+                fetch(8 * (i * r8 - h8), 0, ext)
+
+        row_offset = 8 * (i * r8 - h8)  # padded-window coord of row 0
     halo_ctx = (row_offset, halo, halo + rows)
     q = qs[...]
     (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
@@ -480,37 +491,50 @@ def _deblur_banded_kernel(scal_ref, x_hbm, yv_hbm, q_hbm, fb_hbm, sv_hbm,
 
 def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
                               radius, count, nx, ny, taps, sig_q, tau_t,
-                              n_bands: int, interpret: bool = False):
+                              n_bands: int, interpret: bool = False,
+                              own_lo: int = 0, out_rows: int | None = None,
+                              row_offset0=None):
     """``count`` fused iterations with the (nx2, ny2) planes split into
     ``n_bands`` row bands inside ONE kernel.  Requires nx2 % n_bands == 0
     and rows % 8 == 0 (deblur_band_count only returns such tilings).
-    Same returns as ``deblur_fused_chunk``."""
+    Same returns as ``deblur_fused_chunk``.  (own_lo, out_rows,
+    row_offset0) band a halo-extended shard block instead (see
+    fused_rof.rof_fused_chunk_banded; the shard's exchanged halo must be
+    >= the 8-rounded conv-reach halo)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx2, ny2 = x.shape
+    nin, ny2 = x.shape
+    out_rows = nin if out_rows is None else out_rows
     halo = -(-deblur_halo_rows(count, taps) // 8) * 8
-    rows = nx2 // n_bands
-    assert n_bands >= 2, n_bands
-    assert rows * n_bands == nx2 and rows % 8 == 0, (nx2, n_bands)
+    rows = out_rows // n_bands
+    assert n_bands >= 2 or own_lo, n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
     assert halo <= rows, (halo, rows)
+    assert own_lo % 8 == 0 and (own_lo == 0 or own_lo >= halo), own_lo
     ext = rows + 2 * halo
 
     scal = _deblur_scal(x, tau, sigma, theta, lmb, radius)
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
-                 for a in (x, yv, q, x, yv, q)]
+
+    def oshape(a):
+        return jax.ShapeDtypeStruct(
+            a.shape[:-2] + (out_rows, ny2), a.dtype)
+
+    out_shape = [oshape(a) for a in (x, yv, q, x, yv, q)]
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), x.dtype))
     dt = x.dtype
     vm = pltpu.VMEM
     outs = pl.pallas_call(
         partial(_deblur_banded_kernel, count=int(count), nx=nx, ny=ny,
-                taps=taps, sig_q=sig_q, tau_t=tau_t, nx2=nx2, rows=rows,
-                halo=halo, n_bands=n_bands),
+                taps=taps, sig_q=sig_q, tau_t=tau_t, nx2=nin, rows=rows,
+                halo=halo, n_bands=n_bands, own_lo=int(own_lo)),
         grid=(n_bands,),
         out_shape=out_shape,
-        in_specs=[smem] + [hbm] * 5,
+        in_specs=[smem, smem] + [hbm] * 5,
         out_specs=[hbm] * 6 + [smem],
         scratch_shapes=[
             vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
@@ -519,7 +543,7 @@ def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, x, yv, q, fb, sv)
+    )(scal, off, x, yv, q, fb, sv)
     return (outs[0], outs[1], outs[2], outs[3], outs[4], outs[5],
             jnp.sum(outs[6], axis=1))
 

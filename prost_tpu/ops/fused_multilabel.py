@@ -275,10 +275,11 @@ def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
                            interpret)
 
 
-def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
+def _ml_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, s_hbm, f_hbm,
                       uo_hbm, qo_hbm, so_hbm, upo_hbm, qpo_hbm, spo_hbm,
                       norms_ref, us, qs, ss, fs, qps, sps, sem, *,
-                      count: int, L: int, nx: int, rows: int, halo: int):
+                      count: int, L: int, nx: int, rows: int, halo: int,
+                      own_lo: int):
     """Grid-banded multilabel chunk (cf. fused_rof._rof_banded_kernel):
     one launch per chunk, manual halo-window DMAs from HBM in, owned-row
     DMAs out (staged through the freed input scratch — Mosaic cannot
@@ -293,11 +294,13 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
 
     i = pl.program_id(0)
     ext = us.shape[1]
+    nin = u_hbm.shape[-2]  # input block height (== nx unless sharded)
     # 8 * (...) construction: provable sublane-tile alignment (fused_rof)
-    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
-    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+    start8 = jnp.clip(o8 + i * r8 - h8, 0, n8 - e8)
     start = 8 * start8
-    own_lo = 8 * (i * r8 - start8)
+    own_w = 8 * (o8 + i * r8 - start8)  # owned-lo within the window
 
     def copies(pairs):
         # issue every transfer, then drain: overlaps the DMA setup/latency
@@ -315,7 +318,7 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
         (f_hbm.at[:, pl.ds(start, ext)], fs),
     ])
 
-    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
     new, prev, norms = _ml_chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         us[...], qs[...], ss[...], fs[...], count, L, halo_ctx=halo_ctx)
@@ -335,48 +338,58 @@ def _ml_banded_kernel(scal_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     sps[...] = sp
     lo = 8 * (i * r8)
     copies([
-        (us.at[:, pl.ds(own_lo, rows)], uo_hbm.at[:, pl.ds(lo, rows)]),
-        (qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)]),
-        (ss.at[pl.ds(own_lo, rows)], so_hbm.at[pl.ds(lo, rows)]),
-        (fs.at[:, pl.ds(own_lo, rows)], upo_hbm.at[:, pl.ds(lo, rows)]),
-        (qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)]),
-        (sps.at[pl.ds(own_lo, rows)], spo_hbm.at[pl.ds(lo, rows)]),
+        (us.at[:, pl.ds(own_w, rows)], uo_hbm.at[:, pl.ds(lo, rows)]),
+        (qs.at[:, pl.ds(own_w, rows)], qo_hbm.at[:, pl.ds(lo, rows)]),
+        (ss.at[pl.ds(own_w, rows)], so_hbm.at[pl.ds(lo, rows)]),
+        (fs.at[:, pl.ds(own_w, rows)], upo_hbm.at[:, pl.ds(lo, rows)]),
+        (qps.at[:, pl.ds(own_w, rows)], qpo_hbm.at[:, pl.ds(lo, rows)]),
+        (sps.at[pl.ds(own_w, rows)], spo_hbm.at[pl.ds(lo, rows)]),
     ])
 
 
 def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
-                          count, n_bands: int, interpret: bool = False):
+                          count, n_bands: int, interpret: bool = False,
+                          own_lo: int = 0, out_rows: int | None = None,
+                          nx_global=None, row_offset0=None):
     """``count`` fused iterations with the planes split into ``n_bands``
-    row bands inside ONE kernel.  Same returns as ``ml_fused_chunk``."""
+    row bands inside ONE kernel.  Same returns as ``ml_fused_chunk``.
+    (own_lo, out_rows, nx_global, row_offset0) band a halo-extended
+    shard block instead (see fused_rof.rof_fused_chunk_banded)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L, nx, ny = u.shape
+    L, nin, ny = u.shape
+    out_rows = nin if out_rows is None else out_rows
+    nx_global = nin if nx_global is None else nx_global
     # 8-aligned halo/rows: Mosaic DMA slice alignment (see fused_rof)
     halo = -(-(2 * int(count) + 2) // 8) * 8
-    rows = nx // n_bands
-    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
-    ext = min(rows + 2 * halo, nx)
+    rows = out_rows // n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
+    assert own_lo % 8 == 0, own_lo
+    ext = min(rows + 2 * halo, nin)
 
     scal = _ml_scal(u, tau, sigma, theta, radius, d_s)
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shape = [
-        jax.ShapeDtypeStruct(u.shape, u.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct(s.shape, s.dtype),
-        jax.ShapeDtypeStruct(u.shape, u.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
+        jax.ShapeDtypeStruct((2 * L, out_rows, ny), q.dtype),
+        jax.ShapeDtypeStruct((out_rows, ny), s.dtype),
+        jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
+        jax.ShapeDtypeStruct((2 * L, out_rows, ny), q.dtype),
+        jax.ShapeDtypeStruct((out_rows, ny), s.dtype),
         jax.ShapeDtypeStruct((4, n_bands), u.dtype),
     ]
     dt = u.dtype
     outs = pl.pallas_call(
-        partial(_ml_banded_kernel, count=int(count), L=L, nx=nx,
-                rows=rows, halo=halo),
+        partial(_ml_banded_kernel, count=int(count), L=L,
+                nx=int(nx_global), rows=rows, halo=halo,
+                own_lo=int(own_lo)),
         grid=(n_bands,),
         out_shape=out_shape,
-        in_specs=[smem, hbm, hbm, hbm, hbm],
+        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
         out_specs=[hbm] * 6 + [smem],
         scratch_shapes=[
             pltpu.VMEM((L, ext, ny), dt), pltpu.VMEM((2 * L, ext, ny), dt),
@@ -387,7 +400,7 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, u, q, s, f)
+    )(scal, off, u, q, s, f)
     return (outs[0], outs[1], outs[2], outs[3], outs[4], outs[5],
             jnp.sum(outs[6], axis=1))
 

@@ -461,30 +461,105 @@ def band_count(nx: int, ny: int, residual_iter: int, n_planes: int = 20,
     return None
 
 
-def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
+def shard_band_count(own_rows: int, ny: int, residual_iter: int,
+                     n_planes: int = 20, itemsize: int = 4,
+                     halo_rows: int | None = None) -> int | None:
+    """Band count for banding WITHIN one halo-extended shard block (or one
+    batched ensemble instance): smallest divisor of ``own_rows`` (rows an
+    8-multiple, >= the 8-rounded halo) whose halo-extended band windows
+    keep ~n_planes live planes within 75% of the VMEM limit.  n_bands=1
+    is allowed (the block already in HBM, one window) — unlike
+    ``band_count`` there is no whole-plane shortcut, because the caller
+    already knows the full block does NOT fit VMEM.  ``halo_rows``
+    overrides the stencil halo for wider-reach operators (deblur's conv
+    taps); it must already be 8-rounded."""
+    budget = int(0.75 * _VMEM_LIMIT)
+    if halo_rows is None:
+        halo = -(-(2 * max(int(residual_iter), 1) + 2) // 8) * 8
+    else:
+        halo = int(halo_rows)
+    for n_bands in range(1, own_rows + 1):
+        if own_rows % n_bands:
+            continue
+        rows = own_rows // n_bands
+        if rows % 8:
+            continue
+        if rows < halo:
+            return None
+        if (rows + 2 * halo) * ny * itemsize * n_planes <= budget:
+            return n_bands
+    return None
+
+
+def _rof_banded_kernel(scal_ref, off_ref, x_hbm, q_hbm, f_hbm, w_hbm,
                        xo_hbm, qo_hbm, xpo_hbm, qpo_hbm, norms_ref,
                        xs, qs, fs, ws, qps, sem, *,
                        count: int, nx: int, ny: int, rows: int, halo: int,
-                       dataterm: str):
+                       own_lo: int, dataterm: str, batched: bool):
     """Grid-banded chunk: ONE kernel launch per chunk, grid over row
     bands.  Inputs AND outputs stay in HBM (memory_space=ANY): each grid
     step DMAs its clamped halo-extended window into VMEM scratch,
     computes, and DMAs only its owned rows back — the true minimum HBM
     traffic, no XLA-level slice/crop copies (Mosaic cannot lower
     value-level dynamic_slice, so owned rows leave via ref-level
-    ``.at[pl.ds(...)]`` copies).  norms_ref is the whole (4, n_bands)
-    SMEM array (summed by the caller)."""
+    ``.at[pl.ds(...)]`` copies).  norms_ref is the whole (4[, B],
+    n_bands) SMEM array (summed by the caller).
+
+    Three orthogonal generalizations let this one kernel serve plain
+    banding, banding WITHIN a halo-extended shard block, and banding the
+    batched ensemble:
+    * ``off_ref`` (SMEM, int32) holds the GLOBAL row of input row 0 (a
+      shard's ``axis_index * rows - halo`` — traced, so it rides SMEM);
+      the stencil masks and Neumann boundary use global rows.
+    * static ``own_lo`` offsets the owned region inside the input block
+      (a shard's received-halo height); the bands partition the
+      ``rows * n_bands`` owned rows and the OUTPUTS carry only those.
+    * ``batched`` adds a leading instance grid axis; plane refs gain a
+      leading batch dim and scalars live in (5, B) / (4, B, n_bands)
+      SMEM arrays.
+    """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    i = pl.program_id(0)
+    if batched:
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+
+        def xat(ref, ds):
+            return ref.at[b, ds]
+
+        def qat(ref, ds):
+            return ref.at[b, :, ds]
+
+        def sc(k):
+            return scal_ref[k, b]
+
+        def put_norm(j, v):
+            norms_ref[j, b, i] = v
+    else:
+        i = pl.program_id(0)
+
+        def xat(ref, ds):
+            return ref.at[ds]
+
+        def qat(ref, ds):
+            return ref.at[:, ds]
+
+        def sc(k):
+            return scal_ref[k]
+
+        def put_norm(j, v):
+            norms_ref[j, i] = v
+
     ext = xs.shape[0]
+    nin = x_hbm.shape[-2]  # input block height (== nx unless sharded)
     # offsets constructed as 8 * (...) so Mosaic can PROVE the DMA slice
     # indices are sublane-tile (8) aligned
-    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
-    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+    start8 = jnp.clip(o8 + i * r8 - h8, 0, n8 - e8)
     start = 8 * start8
-    own_lo = 8 * (i * r8 - start8)
+    own_w = 8 * (o8 + i * r8 - start8)  # owned-lo within the window
 
     def copies(pairs):
         # issue every transfer, then drain (overlap DMA setup/latency)
@@ -495,22 +570,22 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
             c.wait()
 
     fetches = [
-        (x_hbm.at[pl.ds(start, ext)], xs),
-        (q_hbm.at[:, pl.ds(start, ext)], qs),
-        (f_hbm.at[pl.ds(start, ext)], fs),
+        (xat(x_hbm, pl.ds(start, ext)), xs),
+        (qat(q_hbm, pl.ds(start, ext)), qs),
+        (xat(f_hbm, pl.ds(start, ext)), fs),
     ]
     if dataterm == "wsquare":
-        fetches.append((w_hbm.at[pl.ds(start, ext)], ws))
+        fetches.append((xat(w_hbm, pl.ds(start, ext)), ws))
     copies(fetches)
 
-    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
     q = qs[...]
     x2, qx2, qy2, xp, qxp, qyp, norms = _chunk_core(
-        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        sc(0), sc(1), sc(2), sc(3), sc(4),
         xs[...], q[0], q[1], fs[...], ws[...], count, dataterm,
         halo_ctx=halo_ctx)
     for j in range(4):
-        norms_ref[j, i] = norms[j]
+        put_norm(j, norms[j])
 
     # stage results in the (now free) input scratch, DMA owned rows out
     xs[...] = x2
@@ -521,48 +596,62 @@ def _rof_banded_kernel(scal_ref, x_hbm, q_hbm, f_hbm, w_hbm,
     qps[1] = qyp
     lo = 8 * (i * r8)
     copies([
-        (xs.at[pl.ds(own_lo, rows)], xo_hbm.at[pl.ds(lo, rows)]),
-        (qs.at[:, pl.ds(own_lo, rows)], qo_hbm.at[:, pl.ds(lo, rows)]),
-        (ws.at[pl.ds(own_lo, rows)], xpo_hbm.at[pl.ds(lo, rows)]),
-        (qps.at[:, pl.ds(own_lo, rows)], qpo_hbm.at[:, pl.ds(lo, rows)]),
+        (xs.at[pl.ds(own_w, rows)], xat(xo_hbm, pl.ds(lo, rows))),
+        (qs.at[:, pl.ds(own_w, rows)], qat(qo_hbm, pl.ds(lo, rows))),
+        (ws.at[pl.ds(own_w, rows)], xat(xpo_hbm, pl.ds(lo, rows))),
+        (qps.at[:, pl.ds(own_w, rows)], qat(qpo_hbm, pl.ds(lo, rows))),
     ])
 
 
 def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
                            count, n_bands: int, dataterm: str = "square",
-                           interpret: bool = False):
+                           interpret: bool = False, own_lo: int = 0,
+                           out_rows: int | None = None, nx_global=None,
+                           row_offset0=None):
     """``count`` fused iterations with the plane split into ``n_bands``
     row bands inside ONE kernel (grid over bands, manual halo-window DMAs
-    from HBM).  Same returns as ``rof_fused_chunk``."""
+    from HBM).  Same returns as ``rof_fused_chunk``.
+
+    With (own_lo, out_rows, nx_global, row_offset0) the inputs are one
+    HALO-EXTENDED shard block of a row-partitioned (nx_global, ny) plane
+    whose row 0 sits at global row ``row_offset0`` (traced): the bands
+    partition the ``out_rows`` owned rows starting at block row
+    ``own_lo``, and the outputs carry only those owned rows."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny = x.shape
+    nin, ny = x.shape
+    out_rows = nin if out_rows is None else out_rows
+    nx_global = nin if nx_global is None else nx_global
     # halo rounded up to the sublane tile (8): Mosaic requires DMA slice
     # shapes/offsets 8-aligned along dim 0 (extra halo rows are merely
     # redundant compute)
     halo = -(-(2 * int(count) + 2) // 8) * 8
-    rows = nx // n_bands
-    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
-    ext = min(rows + 2 * halo, nx)
+    rows = out_rows // n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
+    assert own_lo % 8 == 0, own_lo
+    ext = min(rows + 2 * halo, nin)
 
     scal = _scal_vec(x, tau, sigma, theta, lmb, radius)
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shape = [
-        jax.ShapeDtypeStruct(x.shape, x.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct(x.shape, x.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((out_rows, ny), x.dtype),
+        jax.ShapeDtypeStruct((2, out_rows, ny), q.dtype),
+        jax.ShapeDtypeStruct((out_rows, ny), x.dtype),
+        jax.ShapeDtypeStruct((2, out_rows, ny), q.dtype),
         jax.ShapeDtypeStruct((4, n_bands), x.dtype),
     ]
     dt = x.dtype
     outs = pl.pallas_call(
-        partial(_rof_banded_kernel, count=int(count), nx=nx, ny=ny,
-                rows=rows, halo=halo, dataterm=dataterm),
+        partial(_rof_banded_kernel, count=int(count), nx=int(nx_global),
+                ny=ny, rows=rows, halo=halo, own_lo=int(own_lo),
+                dataterm=dataterm, batched=False),
         grid=(n_bands,),
         out_shape=out_shape,
-        in_specs=[smem, hbm, hbm, hbm, hbm],
+        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
         out_specs=[hbm, hbm, hbm, hbm, smem],
         scratch_shapes=[
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((2, ext, ny), dt),
@@ -573,8 +662,56 @@ def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, x, q, f, w)
+    )(scal, off, x, q, f, w)
     return outs[0], outs[1], outs[2], outs[3], jnp.sum(outs[4], axis=1)
+
+
+def rof_fused_chunk_banded_batched(x, q, f, w, scal, count, n_bands: int,
+                                   dataterm: str = "square",
+                                   interpret: bool = False):
+    """Banded + batched chunk: grid = (B, n_bands) — the fused ensemble
+    path for instances too large for the whole-instance batched kernel.
+    x/f/w are (B, nx, ny), q is (B, 2, nx, ny), scal is (5, B)
+    instances-minor.  Same returns as ``rof_fused_chunk_batched``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nx, ny = x.shape
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    off = jnp.zeros((1,), jnp.int32)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4, B, n_bands), x.dtype),
+    ]
+    dt = x.dtype
+    outs = pl.pallas_call(
+        partial(_rof_banded_kernel, count=int(count), nx=nx, ny=ny,
+                rows=rows, halo=halo, own_lo=0, dataterm=dataterm,
+                batched=True),
+        grid=(B, n_bands),
+        out_shape=out_shape,
+        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
+        out_specs=[hbm, hbm, hbm, hbm, smem],
+        scratch_shapes=[
+            pltpu.VMEM((ext, ny), dt), pltpu.VMEM((2, ext, ny), dt),
+            pltpu.VMEM((ext, ny), dt), pltpu.VMEM((ext, ny), dt),
+            pltpu.VMEM((2, ext, ny), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, off, x, q, f, w)
+    return outs[0], outs[1], outs[2], outs[3], jnp.sum(outs[4], axis=2)
 
 
 def rof_fused_chunk_tiled(x, q, f, w, tau, sigma, theta, lmb, radius, count,

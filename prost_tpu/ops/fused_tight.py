@@ -250,12 +250,13 @@ def tight_fused_chunk_halo(u, v, q, p, s, f, scal, count, nx_global, taps,
                               consts, True, nx_global, interpret)
 
 
-def _tight_banded_kernel(scal_ref, u_hbm, v_hbm, q_hbm, p_hbm, s_hbm, f_hbm,
+def _tight_banded_kernel(scal_ref, off_ref, u_hbm, v_hbm, q_hbm, p_hbm,
+                         s_hbm, f_hbm,
                          uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,
                          norms_ref, us, vs, qs, ps, ss, fs,
                          vps, qps, pps, sps, sem, *,
                          count: int, L: int, k: int, taps, consts,
-                         nx: int, rows: int, halo: int):
+                         nx: int, rows: int, halo: int, own_lo: int):
     """Grid-banded tight chunk (cf. fused_rof._rof_banded_kernel): ONE
     launch per chunk, manual halo-window DMAs from HBM in, owned-row DMAs
     out at GLOBAL row offsets (inputs and outputs both memory_space=ANY;
@@ -268,10 +269,12 @@ def _tight_banded_kernel(scal_ref, u_hbm, v_hbm, q_hbm, p_hbm, s_hbm, f_hbm,
 
     i = pl.program_id(0)
     ext = us.shape[1]
-    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
-    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    nin = u_hbm.shape[-2]  # input block height (== nx unless sharded)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+    start8 = jnp.clip(o8 + i * r8 - h8, 0, n8 - e8)
     start = 8 * start8
-    own_lo = 8 * (i * r8 - start8)
+    own_w = 8 * (o8 + i * r8 - start8)  # owned-lo within the window
 
     def copies(pairs):
         # issue every transfer, then drain (overlap DMA setup/latency)
@@ -290,7 +293,7 @@ def _tight_banded_kernel(scal_ref, u_hbm, v_hbm, q_hbm, p_hbm, s_hbm, f_hbm,
         (f_hbm.at[:, pl.ds(start, ext)], fs),
     ])
 
-    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
     new, prev, norms = _chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         us[...], vs[...], qs[...], ps[...], ss[...], fs[...],
@@ -306,50 +309,64 @@ def _tight_banded_kernel(scal_ref, u_hbm, v_hbm, q_hbm, p_hbm, s_hbm, f_hbm,
         ref[...] = val
     lo = 8 * (i * r8)
     copies([
-        (us.at[:, pl.ds(own_lo, rows)], uo.at[:, pl.ds(lo, rows)]),
-        (vs.at[:, pl.ds(own_lo, rows)], vo.at[:, pl.ds(lo, rows)]),
-        (qs.at[:, pl.ds(own_lo, rows)], qo.at[:, pl.ds(lo, rows)]),
-        (ps.at[:, pl.ds(own_lo, rows)], po.at[:, pl.ds(lo, rows)]),
-        (ss.at[pl.ds(own_lo, rows)], so.at[pl.ds(lo, rows)]),
-        (fs.at[:, pl.ds(own_lo, rows)], upo.at[:, pl.ds(lo, rows)]),
-        (vps.at[:, pl.ds(own_lo, rows)], vpo.at[:, pl.ds(lo, rows)]),
-        (qps.at[:, pl.ds(own_lo, rows)], qpo.at[:, pl.ds(lo, rows)]),
-        (pps.at[:, pl.ds(own_lo, rows)], ppo.at[:, pl.ds(lo, rows)]),
-        (sps.at[pl.ds(own_lo, rows)], spo.at[pl.ds(lo, rows)]),
+        (us.at[:, pl.ds(own_w, rows)], uo.at[:, pl.ds(lo, rows)]),
+        (vs.at[:, pl.ds(own_w, rows)], vo.at[:, pl.ds(lo, rows)]),
+        (qs.at[:, pl.ds(own_w, rows)], qo.at[:, pl.ds(lo, rows)]),
+        (ps.at[:, pl.ds(own_w, rows)], po.at[:, pl.ds(lo, rows)]),
+        (ss.at[pl.ds(own_w, rows)], so.at[pl.ds(lo, rows)]),
+        (fs.at[:, pl.ds(own_w, rows)], upo.at[:, pl.ds(lo, rows)]),
+        (vps.at[:, pl.ds(own_w, rows)], vpo.at[:, pl.ds(lo, rows)]),
+        (qps.at[:, pl.ds(own_w, rows)], qpo.at[:, pl.ds(lo, rows)]),
+        (pps.at[:, pl.ds(own_w, rows)], ppo.at[:, pl.ds(lo, rows)]),
+        (sps.at[pl.ds(own_w, rows)], spo.at[pl.ds(lo, rows)]),
     ])
 
 
 def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
                              d_s, count, taps, consts, n_bands: int,
-                             interpret: bool = False):
+                             interpret: bool = False, own_lo: int = 0,
+                             out_rows: int | None = None, nx_global=None,
+                             row_offset0=None):
     """``count`` fused iterations with the planes split into ``n_bands``
-    row bands inside ONE kernel.  Same returns as ``tight_fused_chunk``."""
+    row bands inside ONE kernel.  Same returns as ``tight_fused_chunk``.
+    (own_lo, out_rows, nx_global, row_offset0) band a halo-extended
+    shard block instead (see fused_rof.rof_fused_chunk_banded)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L, nx, ny = u.shape
+    L, nin, ny = u.shape
     k = v.shape[0] // 2
+    out_rows = nin if out_rows is None else out_rows
+    nx_global = nin if nx_global is None else nx_global
     # 8-aligned halo/rows: Mosaic DMA slice alignment (see fused_rof)
     halo = -(-(2 * int(count) + 2) // 8) * 8
-    rows = nx // n_bands
-    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
-    ext = min(rows + 2 * halo, nx)
+    rows = out_rows // n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
+    assert own_lo % 8 == 0, own_lo
+    ext = min(rows + 2 * halo, nin)
 
     scal = _tight_scal(u, tau, sigma, theta, radius, d_s)
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    def oshape(a):
+        return jax.ShapeDtypeStruct(
+            a.shape[:-2] + (out_rows, ny), a.dtype)
+
     state = (u, v, q, p, s)
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
-                 for a in state + state]
+    out_shape = [oshape(a) for a in state + state]
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), u.dtype))
     dt = u.dtype
     vm = pltpu.VMEM
     outs = pl.pallas_call(
         partial(_tight_banded_kernel, count=int(count), L=L, k=k,
-                taps=taps, consts=consts, nx=nx, rows=rows, halo=halo),
+                taps=taps, consts=consts, nx=int(nx_global), rows=rows,
+                halo=halo, own_lo=int(own_lo)),
         grid=(n_bands,),
         out_shape=out_shape,
-        in_specs=[smem] + [hbm] * 6,
+        in_specs=[smem, smem] + [hbm] * 6,
         out_specs=[hbm] * 10 + [smem],
         scratch_shapes=[
             vm((L, ext, ny), dt), vm((2 * k, ext, ny), dt),
@@ -361,7 +378,7 @@ def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, u, v, q, p, s, f)
+    )(scal, off, u, v, q, p, s, f)
     return outs[:5], outs[5:10], jnp.sum(outs[10], axis=1)
 
 

@@ -91,7 +91,8 @@ class BatchedPDHG:
         path (vmap over ops/fused_rof.rof_fused_chunk: the batch axis
         becomes the kernel grid axis).  All instances must share
         (nx, ny, dataterm); f/w/lmb/radius may differ per instance."""
-        from ..ops.fused_rof import fits_vmem, match_rof_structure
+        from ..ops.fused_rof import (fits_vmem, match_rof_structure,
+                                     shard_band_count)
 
         usable = (jax.default_backend() != "cpu") or interpret
         if not usable or self.opts.stepsize == "alg2":
@@ -105,10 +106,17 @@ class BatchedPDHG:
         if len(keys) != 1:
             return None
         nx, ny, dataterm = keys.pop()
-        if not fits_vmem(nx, ny):
-            return None  # batched kernel holds one whole instance per step
+        if fits_vmem(nx, ny):
+            n_bands = 1  # whole-instance batched kernel (one grid step each)
+        else:
+            # instances too large for whole-instance VMEM residency run
+            # the banded+batched kernel (grid = (B, n_bands))
+            n_bands = shard_band_count(nx, ny,
+                                       max(int(self.opts.residual_iter), 1))
+            if n_bands is None or n_bands == 1:
+                return None  # no efficient tiling -> generic vmapped path
         batched = {
-            "nx": nx, "ny": ny, "dataterm": dataterm,
+            "nx": nx, "ny": ny, "dataterm": dataterm, "n_bands": n_bands,
             "f": jnp.stack([m["f"] for m in ms]),
             "w": jnp.stack([m["w"] for m in ms]),
             "lmb": jnp.asarray([m["lmb"] for m in ms], jnp.float32),
@@ -146,6 +154,7 @@ class BatchedPDHG:
             try:
                 return _batched_fused_rof_run(
                     self.opts, r["nx"], r["ny"], r["dataterm"],
+                    r["n_bands"],
                     self.mesh, self.axis_name, self.interpret,
                     self.batched_problem, self.prox_g, self.prox_fstar,
                     r["f"], r["w"], r["lmb"], r["radius"],
@@ -191,14 +200,17 @@ def _batched_pdhg_run(opts, batched_problem, prox_g, prox_fstar, state,
     return jax.lax.while_loop(cond, body, state)
 
 
-@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6), donate_argnums=(14,))
-def _batched_fused_rof_run(opts, nx, ny, dataterm, mesh, axis_name,
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+         donate_argnums=(15,))
+def _batched_fused_rof_run(opts, nx, ny, dataterm, n_bands, mesh, axis_name,
                            interpret, batched_problem, prox_g, prox_fstar,
                            f, w, lmb, radius, state, until, tols):
     """Batched analog of fused_rof._fused_rof_run: the vmapped Pallas chunk
     kernel runs every instance as one grid step (per-instance step sizes
     travel in the per-grid-step SMEM scalar vector).  Converged instances
     keep iterating until all converge, matching _batched_pdhg_run.
+    Instances above the whole-instance VMEM cap run the banded+batched
+    kernel (grid = (B, n_bands)) — the fused path has no size cliff.
 
     On a multi-device mesh the kernel call runs under shard_map over the
     batch axis: each device's kernel grid covers its local B/n_devices
@@ -211,11 +223,16 @@ def _batched_fused_rof_run(opts, nx, ny, dataterm, mesh, axis_name,
     from jax.sharding import PartitionSpec as P
 
     from ..backend.pdhg import residual_and_adapt
-    from ..ops.fused_rof import rof_fused_chunk_batched
+    from ..ops.fused_rof import (rof_fused_chunk_banded_batched,
+                                 rof_fused_chunk_batched)
 
     ri = max(int(opts.residual_iter), 1)
 
     def raw_chunk(x, q, ff, ww, scal):
+        if n_bands > 1:
+            return rof_fused_chunk_banded_batched(
+                x, q, ff, ww, scal, ri, n_bands, dataterm=dataterm,
+                interpret=interpret)
         return rof_fused_chunk_batched(x, q, ff, ww, scal, ri,
                                        dataterm=dataterm,
                                        interpret=interpret)

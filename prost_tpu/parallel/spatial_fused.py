@@ -80,13 +80,23 @@ class ShardedFusedROF(BackendPDHG):
                 f"{self.halo} (= 2*residual_iter + 2); lower residual_iter "
                 "or use fewer shards."
             )
-        from ..ops.fused_rof import fits_vmem
+        from ..ops.fused_rof import fits_vmem, shard_band_count
+        self.band_nb = None
         if not fits_vmem(self.shard_rows + 2 * self.halo, self.rof["ny"]):
-            raise ProstError(
-                "ShardedFusedROF: one halo-extended shard block exceeds the "
-                "VMEM budget; use more shards (or FusedROFPDHG's row-band "
-                "tiled kernel on one chip)."
-            )
+            # shard block exceeds VMEM: band WITHIN the shard (the banded
+            # kernel with shard-global row offsets) — banding composes
+            # with sharding instead of falling back to the generic path
+            nb = shard_band_count(self.shard_rows, self.rof["ny"], ri)
+            if nb is None:
+                raise ProstError(
+                    "ShardedFusedROF: one halo-extended shard block exceeds "
+                    "the VMEM budget and the shard rows admit no 8-aligned "
+                    "band tiling; use a different shard count."
+                )
+            # band windows DMA at 8-row granularity: the exchanged halo
+            # (= own_lo of the owned region) must be 8-aligned
+            self.halo = -(-self.halo // 8) * 8
+            self.band_nb = nb
 
     def _shard(self, state):
         vec = NamedSharding(self.mesh, P(self.axis_name))
@@ -107,7 +117,8 @@ class ShardedFusedROF(BackendPDHG):
         return _sharded_fused_run(
             self.problem, self.prox_g, self.prox_fstar, self.opts,
             r["nx"], r["ny"], r["lmb"], r["dataterm"],
-            self.mesh, self.axis_name, self.halo, self.interpret,
+            self.mesh, self.axis_name, self.halo, self.band_nb,
+            self.interpret,
             tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
             state, jnp.asarray(until_iter, jnp.int32),
         )
@@ -161,11 +172,21 @@ class ShardedFusedMultilabel(BackendPDHG):
                 f"ShardedFusedMultilabel: shard height {self.shard_rows} < "
                 f"halo {self.halo}; lower residual_iter or use fewer shards."
             )
+        self.band_nb = None
         if not ml_fits_vmem(self.shard_rows + 2 * self.halo, ny, L):
-            raise ProstError(
-                "ShardedFusedMultilabel: one halo-extended shard block "
-                "exceeds the VMEM budget; use more shards."
-            )
+            # band within the shard (cf. ShardedFusedROF)
+            from ..ops.fused_rof import shard_band_count
+
+            nb = shard_band_count(self.shard_rows, ny, ri,
+                                  n_planes=15 * L + 5)
+            if nb is None:
+                raise ProstError(
+                    "ShardedFusedMultilabel: one halo-extended shard block "
+                    "exceeds the VMEM budget and the shard rows admit no "
+                    "8-aligned band tiling; use a different shard count."
+                )
+            self.halo = -(-self.halo // 8) * 8
+            self.band_nb = nb
 
     def _shard(self, state):
         vec = NamedSharding(self.mesh, P(self.axis_name))
@@ -186,7 +207,8 @@ class ShardedFusedMultilabel(BackendPDHG):
         return _sharded_fused_ml_run(
             self.problem, self.prox_g, self.prox_fstar, self.opts,
             m["nx"], m["ny"], m["L"],
-            self.mesh, self.axis_name, self.halo, self.interpret,
+            self.mesh, self.axis_name, self.halo, self.band_nb,
+            self.interpret,
             tols, m["f"],
             jnp.asarray(m["radius"], jnp.float32),
             jnp.asarray(m["d_s"], jnp.float32),
@@ -206,12 +228,21 @@ def _halo_extend(a, axis, n_shards, halo):
 
 
 def _halo_chunk_ml(u_loc, q_loc, s_loc, f_loc, scal5, *, axis, n_shards,
-                   halo, nx, ri, interpret):
+                   halo, nx, ri, band_nb, interpret):
     """Per-shard multilabel chunk body (inside shard_map)."""
-    from ..ops.fused_multilabel import ml_fused_chunk_halo
+    from ..ops.fused_multilabel import (ml_fused_chunk_banded,
+                                        ml_fused_chunk_halo)
 
     rows = u_loc.shape[1]
     row_offset = lax.axis_index(axis) * rows - halo
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    if band_nb is not None:
+        u2, q2, s2, up, qp, sp, norms2 = ml_fused_chunk_banded(
+            ext(u_loc), ext(q_loc), ext(s_loc), ext(f_loc),
+            scal5[0], scal5[1], scal5[2], scal5[3], scal5[4], ri, band_nb,
+            interpret=interpret, own_lo=halo, out_rows=rows, nx_global=nx,
+            row_offset0=row_offset.astype(jnp.int32))
+        return u2, q2, s2, up, qp, sp, lax.psum(norms2, axis)
     scal8 = jnp.concatenate([
         scal5,
         jnp.stack([
@@ -220,7 +251,6 @@ def _halo_chunk_ml(u_loc, q_loc, s_loc, f_loc, scal5, *, axis, n_shards,
             jnp.asarray(halo + rows, scal5.dtype),
         ]),
     ])
-    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
     u2, q2, s2, up, qp, sp, norms2 = ml_fused_chunk_halo(
         ext(u_loc), ext(q_loc), ext(s_loc), ext(f_loc), scal8, ri, nx,
         interpret=interpret)
@@ -230,10 +260,10 @@ def _halo_chunk_ml(u_loc, q_loc, s_loc, f_loc, scal5, *, axis, n_shards,
             lax.psum(norms2, axis))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(16,))
 def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
-                          mesh, axis, halo, interpret,
+                          mesh, axis, halo, band_nb, interpret,
                           tols, f_planes, radius, d_s, state, until):
     """Same three-phase structure as fused_multilabel._fused_ml_run, with
     the chunk under shard_map (halo exchange + owned-row norms + psum)."""
@@ -247,7 +277,7 @@ def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
     lspec = P(None, axis, None)
     pspec = P(axis, None)
     body = partial(_halo_chunk_ml, axis=axis, n_shards=n_shards, halo=halo,
-                   nx=nx, ri=ri, interpret=interpret)
+                   nx=nx, ri=ri, band_nb=band_nb, interpret=interpret)
     sharded_chunk = jax.shard_map(
         body, mesh=mesh,
         in_specs=(lspec, lspec, pspec, lspec, P()),
@@ -346,11 +376,21 @@ class ShardedFusedTight(BackendPDHG):
                 f"ShardedFusedTight: shard height {self.shard_rows} < halo "
                 f"{self.halo}; lower residual_iter or use fewer shards."
             )
+        self.band_nb = None
         if not tight_fits_vmem(self.shard_rows + 2 * self.halo, ny, L, k):
-            raise ProstError(
-                "ShardedFusedTight: one halo-extended shard block exceeds "
-                "the VMEM budget; use more shards."
-            )
+            # band within the shard (cf. ShardedFusedROF)
+            from ..ops.fused_rof import shard_band_count
+
+            nb = shard_band_count(self.shard_rows, ny, ri,
+                                  n_planes=10 * L + 14 * k + 8)
+            if nb is None:
+                raise ProstError(
+                    "ShardedFusedTight: one halo-extended shard block "
+                    "exceeds the VMEM budget and the shard rows admit no "
+                    "8-aligned band tiling; use a different shard count."
+                )
+            self.halo = -(-self.halo // 8) * 8
+            self.band_nb = nb
 
     def _shard(self, state):
         vec = NamedSharding(self.mesh, P(self.axis_name))
@@ -371,7 +411,8 @@ class ShardedFusedTight(BackendPDHG):
         return _sharded_fused_tight_run(
             self.problem, self.prox_g, self.prox_fstar, self.opts,
             t["nx"], t["ny"], t["L"], t["k"], (t["taps"], t["consts"]),
-            self.mesh, self.axis_name, self.halo, self.interpret,
+            self.mesh, self.axis_name, self.halo, self.band_nb,
+            self.interpret,
             tols, t["f"],
             (jnp.asarray(t["radius"], jnp.float32),
              jnp.asarray(t["d_s"], jnp.float32)),
@@ -380,12 +421,22 @@ class ShardedFusedTight(BackendPDHG):
 
 
 def _halo_chunk_tight(u, v, q, p, s, f, scal5, *, axis, n_shards, halo, nx,
-                      ri, taps, consts, interpret):
+                      ri, taps, consts, band_nb, interpret):
     """Per-shard tight chunk body (inside shard_map)."""
-    from ..ops.fused_tight import tight_fused_chunk_halo
+    from ..ops.fused_tight import (tight_fused_chunk_banded,
+                                   tight_fused_chunk_halo)
 
     rows = u.shape[1]
     row_offset = lax.axis_index(axis) * rows - halo
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    if band_nb is not None:
+        new, prev, norms2 = tight_fused_chunk_banded(
+            ext(u), ext(v), ext(q), ext(p), ext(s), ext(f),
+            scal5[0], scal5[1], scal5[2], scal5[3], scal5[4], ri,
+            taps, consts, band_nb, interpret=interpret, own_lo=halo,
+            out_rows=rows, nx_global=nx,
+            row_offset0=row_offset.astype(jnp.int32))
+        return tuple(new), tuple(prev), lax.psum(norms2, axis)
     scal8 = jnp.concatenate([
         scal5,
         jnp.stack([
@@ -394,7 +445,6 @@ def _halo_chunk_tight(u, v, q, p, s, f, scal5, *, axis, n_shards, halo, nx,
             jnp.asarray(halo + rows, scal5.dtype),
         ]),
     ])
-    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
     new, prev, norms2 = tight_fused_chunk_halo(
         ext(u), ext(v), ext(q), ext(p), ext(s), ext(f), scal8, ri, nx,
         taps, consts, interpret=interpret)
@@ -407,10 +457,11 @@ def _halo_chunk_tight(u, v, q, p, s, f, scal5, *, axis, n_shards, halo, nx,
             lax.psum(norms2, axis))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
-         donate_argnums=(16,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
+         donate_argnums=(17,))
 def _sharded_fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
-                             k, taps_consts, mesh, axis, halo, interpret,
+                             k, taps_consts, mesh, axis, halo, band_nb,
+                             interpret,
                              tols, f_planes, scal_extra, state, until):
     """Same three-phase structure as fused_tight._fused_tight_run, with
     the chunk under shard_map."""
@@ -426,7 +477,7 @@ def _sharded_fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
     pspec = P(axis, None)
     body = partial(_halo_chunk_tight, axis=axis, n_shards=n_shards,
                    halo=halo, nx=nx, ri=ri, taps=taps, consts=consts,
-                   interpret=interpret)
+                   band_nb=band_nb, interpret=interpret)
     state5 = (lspec, lspec, lspec, lspec, pspec)
     sharded_chunk = jax.shard_map(
         body, mesh=mesh,
@@ -536,11 +587,25 @@ class ShardedFusedDeblur(BackendPDHG):
                 f"{self.halo} (= (2*residual_iter + 2) * conv row reach); "
                 "lower residual_iter or use fewer shards."
             )
+        self.band_nb = None
         if not deblur_fits_vmem(self.shard_rows + 2 * self.halo, d["ny2"]):
-            raise ProstError(
-                "ShardedFusedDeblur: one halo-extended shard block exceeds "
-                "the VMEM budget; use more shards."
-            )
+            # band within the shard (cf. ShardedFusedROF); the band halo
+            # carries the conv row reach, so shard_band_count gets the
+            # 8-rounded deblur halo explicitly
+            from ..ops.fused_rof import shard_band_count
+
+            halo8 = -(-self.halo // 8) * 8
+            nb = shard_band_count(self.shard_rows, d["ny2"], ri,
+                                  n_planes=18, halo_rows=halo8)
+            if nb is None:
+                raise ProstError(
+                    "ShardedFusedDeblur: one halo-extended shard block "
+                    "exceeds the VMEM budget and the shard rows admit no "
+                    "8-aligned band tiling; use a different shard count "
+                    "or lower residual_iter."
+                )
+            self.halo = halo8
+            self.band_nb = nb
 
     def _shard(self, state):
         vec = NamedSharding(self.mesh, P(self.axis_name))
@@ -562,7 +627,8 @@ class ShardedFusedDeblur(BackendPDHG):
             self.problem, self.prox_g, self.prox_fstar, self.opts,
             d["nx"], d["ny"], d["nx2"], d["ny2"], d["taps"],
             d["sig_q"], d["tau_t"], d["lmb"],
-            self.mesh, self.axis_name, self.halo, self.interpret,
+            self.mesh, self.axis_name, self.halo, self.band_nb,
+            self.interpret,
             tols, d["fb"], d["sv"],
             jnp.asarray(d["radius"], jnp.float32),
             state, jnp.asarray(until_iter, jnp.int32),
@@ -570,12 +636,21 @@ class ShardedFusedDeblur(BackendPDHG):
 
 
 def _halo_chunk_deblur(x, yv, q, fb, sv, scal5, *, axis, n_shards, halo,
-                       nx, ny, ri, taps, sig_q, tau_t, interpret):
+                       nx, ny, ri, taps, sig_q, tau_t, band_nb, interpret):
     """Per-shard deblur chunk body (inside shard_map)."""
-    from ..ops.fused_deblur import deblur_fused_chunk_halo
+    from ..ops.fused_deblur import (deblur_fused_chunk_banded,
+                                    deblur_fused_chunk_halo)
 
     rows = x.shape[0]
     row_offset = lax.axis_index(axis) * rows - halo
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    if band_nb is not None:
+        x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_banded(
+            ext(x), ext(yv), ext(q), ext(fb), ext(sv),
+            scal5[0], scal5[1], scal5[2], scal5[3], scal5[4], ri, nx, ny,
+            taps, sig_q, tau_t, band_nb, interpret=interpret, own_lo=halo,
+            out_rows=rows, row_offset0=row_offset.astype(jnp.int32))
+        return x2, yv2, q2, xp, yvp, qp, lax.psum(norms2, axis)
     scal8 = jnp.concatenate([
         scal5,
         jnp.stack([
@@ -584,7 +659,6 @@ def _halo_chunk_deblur(x, yv, q, fb, sv, scal5, *, axis, n_shards, halo,
             jnp.asarray(halo + rows, scal5.dtype),
         ]),
     ])
-    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
     x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_halo(
         ext(x), ext(yv), ext(q), ext(fb), ext(sv), scal8, ri, nx, ny,
         taps, sig_q, tau_t, interpret=interpret)
@@ -594,11 +668,11 @@ def _halo_chunk_deblur(x, yv, q, fb, sv, scal5, *, axis, n_shards, halo,
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14,
-                                  15),
-         donate_argnums=(19,))
+                                  15, 16),
+         donate_argnums=(20,))
 def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
                               nx2, ny2, taps, sig_q, tau_t, lmb,
-                              mesh, axis, halo, interpret,
+                              mesh, axis, halo, band_nb, interpret,
                               tols, fb, sv, radius, state, until):
     """Same three-phase structure as fused_deblur._fused_deblur_run, with
     the chunk under shard_map."""
@@ -613,7 +687,7 @@ def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
     qspec = P(None, axis, None)
     body = partial(_halo_chunk_deblur, axis=axis, n_shards=n_shards,
                    halo=halo, nx=nx, ny=ny, ri=ri, taps=taps, sig_q=sig_q,
-                   tau_t=tau_t, interpret=interpret)
+                   tau_t=tau_t, band_nb=band_nb, interpret=interpret)
     sharded_chunk = jax.shard_map(
         body, mesh=mesh,
         in_specs=(pspec, pspec, qspec, pspec, pspec, P()),
@@ -681,9 +755,12 @@ def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
 
 
 def _halo_chunk(x_loc, q_loc, f_loc, w_loc, scal5, *, axis, n_shards, halo,
-                nx, ri, dataterm, interpret):
+                nx, ri, band_nb, dataterm, interpret):
     """Per-shard chunk body (inside shard_map): halo exchange, fused kernel
-    on the extended block, crop to owned rows, psum the norms."""
+    on the extended block, crop to owned rows, psum the norms.  When the
+    extended block exceeds VMEM (``band_nb``), the shard runs the BANDED
+    kernel with shard-global row offsets instead — outputs arrive already
+    cropped to owned rows."""
     fwd = [(j, j + 1) for j in range(n_shards - 1)]
     bwd = [(j + 1, j) for j in range(n_shards - 1)]
 
@@ -697,6 +774,16 @@ def _halo_chunk(x_loc, q_loc, f_loc, w_loc, scal5, *, axis, n_shards, halo,
 
     rows = x_loc.shape[0]
     row_offset = lax.axis_index(axis) * rows - halo
+    if band_nb is not None:
+        from ..ops.fused_rof import rof_fused_chunk_banded
+
+        x2, q2, xp, qp, norms2 = rof_fused_chunk_banded(
+            extend(x_loc), extend(q_loc), extend(f_loc), extend(w_loc),
+            scal5[0], scal5[1], scal5[2], scal5[3], scal5[4], ri, band_nb,
+            dataterm=dataterm, interpret=interpret, own_lo=halo,
+            out_rows=rows, nx_global=nx,
+            row_offset0=row_offset.astype(jnp.int32))
+        return x2, q2, xp, qp, lax.psum(norms2, axis)
     scal8 = jnp.concatenate([
         scal5,
         jnp.stack([
@@ -713,10 +800,10 @@ def _halo_chunk(x_loc, q_loc, f_loc, w_loc, scal5, *, axis, n_shards, halo,
             lax.psum(norms2, axis))
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+         donate_argnums=(16,))
 def _sharded_fused_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb,
-                       dataterm, mesh, axis, halo, interpret,
+                       dataterm, mesh, axis, halo, band_nb, interpret,
                        tols, f_plane, w_plane, radius, state, until):
     """Same three-phase structure as fused_rof._fused_rof_run, with the
     chunk running under shard_map (halo exchange + owned-row norms +
@@ -727,7 +814,8 @@ def _sharded_fused_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb,
     plane = P(axis, None)
     qspec = P(None, axis, None)
     body = partial(_halo_chunk, axis=axis, n_shards=n_shards, halo=halo,
-                   nx=nx, ri=ri, dataterm=dataterm, interpret=interpret)
+                   nx=nx, ri=ri, band_nb=band_nb, dataterm=dataterm,
+                   interpret=interpret)
     # check_vma=False: pallas_call's out_shape carries no varying-mesh-axes
     # annotation, which the vma checker requires
     sharded_chunk = jax.shard_map(

@@ -258,3 +258,30 @@ def test_sharded_spatial_collective_counts():
     # GSPMD can't partition) to static slices; must not regress.  The
     # hand-scheduled spatial_fused path avoids ALL of this.
     assert n_allgather <= 6, f"{n_allgather} all-gathers in sharded step"
+
+
+def test_batched_banded_matches_whole_instance():
+    """Instances above the whole-instance VMEM cap run the banded+batched
+    kernel (grid = (B, n_bands)) — must be bit-compatible with the
+    whole-instance batched kernel."""
+    from prost_tpu.parallel.ensemble import BatchedPDHG
+
+    rng = np.random.RandomState(21)
+    nx, ny = 128, 32
+    probs = [rof_problem(nx, ny, rng.rand(nx * ny).astype(np.float32),
+                         float(l)) for l in (8.0, 12.0, 16.0)]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+
+    ref = BatchedPDHG(probs, popts, _solver_opts(), interpret=True)
+    assert ref.rof is not None and ref.rof["n_bands"] == 1
+    rs = ref.run(ref.initial_state(), 41)
+
+    ban = BatchedPDHG(probs, popts, _solver_opts(), interpret=True)
+    ban.rof["n_bands"] = 4  # force the banded+batched route
+    bs = ban.run(ban.initial_state(), 41)
+
+    np.testing.assert_array_equal(np.asarray(bs.x), np.asarray(rs.x))
+    np.testing.assert_array_equal(np.asarray(bs.y), np.asarray(rs.y))
+    np.testing.assert_allclose(np.asarray(bs.tau), np.asarray(rs.tau),
+                               rtol=1e-7)

@@ -123,7 +123,8 @@ def test_sharded_fused_comm_volume_per_chunk():
     halo = 2 * ri + 2
     mesh = _mesh(n_shards)
     body = _partial(_halo_chunk, axis="sp", n_shards=n_shards, halo=halo,
-                    nx=nx, ri=ri, dataterm="square", interpret=True)
+                    nx=nx, ri=ri, band_nb=None, dataterm="square",
+                    interpret=True)
     chunk = jax.jit(jax.shard_map(
         body, mesh=mesh,
         in_specs=(P("sp", None), P(None, "sp", None), P("sp", None),
@@ -159,7 +160,7 @@ def test_sharded_fused_ml_comm_volume_per_chunk():
     halo = 2 * ri + 2
     mesh = _mesh(n_shards)
     body = _partial(_halo_chunk_ml, axis="sp", n_shards=n_shards,
-                    halo=halo, nx=nx, ri=ri, interpret=True)
+                    halo=halo, nx=nx, ri=ri, band_nb=None, interpret=True)
     lspec, pspec = P(None, "sp", None), P("sp", None)
     chunk = jax.jit(jax.shard_map(
         body, mesh=mesh,
@@ -190,3 +191,92 @@ def test_sharded_fused_validates_geometry():
         ShardedFusedROF(prob, PDHGOptions(residual_iter=1,
                                           scale_steps_operator=False),
                         _opts(), _mesh(5), interpret=True)
+
+
+# ---------------------------------------------------------------------------
+# banding WITHIN a shard (VMEM-oversized shard blocks route to the banded
+# kernels with shard-global row offsets instead of falling back generic)
+# ---------------------------------------------------------------------------
+
+def test_sharded_banded_rof_matches_generic():
+    nx, ny = 256, 32
+    rng = np.random.RandomState(15)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 12.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 61)
+
+    sh = ShardedFusedROF(prob, popts, _opts(), _mesh(4), interpret=True)
+    assert sh.band_nb is None  # test sizes fit VMEM; force the route
+    sh.band_nb = 2
+    sh.halo = 24  # 8-aligned exchange halo (banded windows need it)
+    ss = sh.run(sh.initial_state(), 61)
+    assert int(ss.iteration) == 61
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_banded_multilabel_matches_generic():
+    from prost_tpu.parallel import ShardedFusedMultilabel
+    from test_fused_multilabel import ml_problem
+
+    prob, _ = ml_problem(128, 16, 3, lmb=0.4, seed=8)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 41)
+
+    sh = ShardedFusedMultilabel(prob, popts, _opts(), _mesh(2),
+                                interpret=True)
+    assert sh.band_nb is None
+    sh.band_nb = 2
+    sh.halo = 24
+    ss = sh.run(sh.initial_state(), 41)
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_banded_tight_matches_generic():
+    from prost_tpu.parallel import ShardedFusedTight
+    from test_fused_tight import tight_problem
+
+    prob = tight_problem(128, 16, 3, lmb=0.6, seed=9)
+    if isinstance(prob, tuple):
+        prob = prob[0]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=10,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 41)
+
+    sh = ShardedFusedTight(prob, popts, _opts(), _mesh(2), interpret=True)
+    assert sh.band_nb is None
+    sh.band_nb = 2
+    sh.halo = 24
+    ss = sh.run(sh.initial_state(), 41)
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_banded_deblur_matches_generic():
+    from prost_tpu.parallel import ShardedFusedDeblur
+    from test_fused_deblur import deblur_problem
+
+    # k=3 -> conv row reach 2; ri=2 -> deblur halo 12 -> 8-rounded 16;
+    # nx2 = 128 over 2 shards -> 64 rows, 2 bands of 32 >= 16
+    prob, _ = deblur_problem(126, 12, lmb=25.0, seed=4, k=3)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=2,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 21)
+
+    sh = ShardedFusedDeblur(prob, popts, _opts(), _mesh(2), interpret=True)
+    assert sh.band_nb is None
+    sh.band_nb = 2
+    sh.halo = 16
+    ss = sh.run(sh.initial_state(), 21)
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
