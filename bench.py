@@ -142,7 +142,14 @@ def build_deblur(nx, ny, lmb=100.0, seed=42, klen=9, sopts=None):
     n = nx * ny
     ny2, nx2 = ny + klen - 1, nx + klen - 1
     rng = np.random.RandomState(seed)
-    f_blurred = rng.rand(ny2 * nx2)
+    # the NAMED workload: the cow fixture blurred by the motion kernel
+    # (example_deblurring.m applies B to the test image) + noise — not a
+    # random plane (round-2 verdict, missing #4)
+    from scipy.signal import convolve2d
+
+    clean = _cow_image(nx, ny)
+    f_blurred = (convolve2d(clean, kern, mode="full")
+                 + 0.01 * rng.randn(nx2, ny2)).reshape(-1)
 
     u = pt.Variable(n)
     v = pt.Variable(nx2 * ny2)
@@ -226,13 +233,17 @@ def build_ensemble(B, nx, ny, seed=42):
 
 
 def measure_backend(backend, short=2000, long_=22000, repeats=3):
-    """Two-point throughput measurement: the remote-tunneled runtime
-    charges ~90 ms of D2H sync latency to EVERY host read (profiled: the
-    500-iteration device program itself takes ~4 ms).  Timing a single run
-    would measure the tunnel, not the chip, so time a short and a long run
-    (same compiled program) and report Delta-iters / Delta-t — dispatch +
-    sync costs cancel, leaving pure device throughput.  Best-of-`repeats`
-    to damp shared-chip contention.
+    """Two-point throughput measurement WITH dispersion: the
+    remote-tunneled runtime charges ~90 ms of D2H sync latency to EVERY
+    host read (profiled: the 500-iteration device program itself takes
+    ~4 ms).  Timing a single run would measure the tunnel, not the chip,
+    so time a short and a long run (same compiled program) and report
+    Delta-iters / Delta-t — dispatch + sync costs cancel, leaving pure
+    device throughput.
+
+    Returns a dict {value, min, max, n_sweeps}: ``value`` is the MEDIAN
+    of the per-sweep estimates (round-2 verdict: best-of-N point
+    estimates hid 2.3x spreads), min/max quantify the contention band.
 
     Warm up to iteration 21 (aligned: 21 % residual_iter == 1, so timed
     runs have no align/tail phases).  Synchronize via a host-side scalar
@@ -252,23 +263,27 @@ def measure_backend(backend, short=2000, long_=22000, repeats=3):
         assert sync_iter(out) == start + iters
         return out, time.perf_counter() - t0
 
-    best_short = best_long = float("inf")
+    ests = []
+    best_long = float("inf")
     done = 21
     for _ in range(repeats):
         state, dt_s = timed_run(state, done, short)
         done += short
         state, dt_l = timed_run(state, done, long_)
         done += long_
-        best_short = min(best_short, dt_s)
         best_long = min(best_long, dt_l)
+        delta = dt_l - dt_s
+        if delta >= 0.2 * dt_l:  # two-point delta not contention-corrupted
+            ests.append((long_ - short) / delta)
 
-    delta = best_long - best_short
-    if delta < 0.2 * best_long:
-        # contention corrupted the two-point delta (e.g. the short run ate
-        # a congestion spike): report the conservative single-run rate
-        # (includes ~90 ms tunnel sync, so it UNDERestimates)
-        return long_ / best_long
-    return (long_ - short) / delta
+    if not ests:
+        # every sweep's short run ate a congestion spike: report the
+        # conservative single-run rate (includes ~90 ms tunnel sync, so
+        # it UNDERestimates)
+        v = long_ / best_long
+        return {"value": v, "min": v, "max": v, "n_sweeps": 0}
+    return {"value": float(np.median(ests)), "min": min(ests),
+            "max": max(ests), "n_sweeps": len(ests)}
 
 
 def measure_iters_to_gap(nx=512, ny=512, lmb=16.0, gap_tol=1e-6,
@@ -335,11 +350,41 @@ def measure_iters_to_tol(make_backend, tol, check=2000, max_iters=200_000):
     return None
 
 
-def _extra(metric, value, unit, baseline):
-    print(json.dumps({
-        "metric": metric, "value": round(value, 1), "unit": unit,
-        "vs_baseline": round(value / baseline, 3),
-    }), file=sys.stderr, flush=True)
+def _latest_verify():
+    """The newest committed VERIFY_r*.json (tools/tpu_verify.py --json)
+    with all checks ok, or None.  Banded-kernel metrics carry
+    hw_verified=False without one — interpret-mode tests cannot see
+    wrong-row DMA writes, so a throughput number from an unverified
+    banded kernel is not evidence (round-2 verdict, weak #7)."""
+    import glob
+    import os
+
+    root = os.path.dirname(os.path.abspath(__file__))
+    cands = sorted(glob.glob(os.path.join(root, "VERIFY_r*.json")))
+    if not cands:
+        return None
+    with open(cands[-1]) as fh:
+        data = json.load(fh)
+    if all(v.get("ok") for v in data.get("results", {}).values()):
+        return os.path.basename(cands[-1])
+    return None
+
+
+def _fields(meas, baseline=None):
+    """Measurement dict -> JSON fields with dispersion."""
+    out = {"value": round(meas["value"], 1),
+           "min": round(meas["min"], 1), "max": round(meas["max"], 1),
+           "n_sweeps": meas["n_sweeps"]}
+    if baseline is not None:
+        out["vs_baseline"] = round(meas["value"] / baseline, 3)
+    return out
+
+
+def _extra(metric, meas, unit, baseline, banded=False, verify=None):
+    rec = {"metric": metric, **_fields(meas, baseline), "unit": unit}
+    if banded:
+        rec["hw_verified"] = verify or False
+    print(json.dumps(rec), file=sys.stderr, flush=True)
 
 
 def _time_to_tol(metric, iters, its_per_sec):
@@ -362,16 +407,17 @@ def _time_to_tol(metric, iters, its_per_sec):
 def main(argv):
     run_all = "--all" in argv
 
-    its_per_sec = measure_backend(build_rof(512, 512)[0])
+    meas = measure_backend(build_rof(512, 512)[0])
+    its_per_sec = meas["value"]
     baseline = 3000.0
     print(json.dumps({
         "metric": "rof512_pdhg_iters_per_sec",
-        "value": round(its_per_sec, 1),
+        **_fields(meas, baseline),
         "unit": "it/s",
-        "vs_baseline": round(its_per_sec / baseline, 3),
     }))
 
     if run_all:
+        verify = _latest_verify()
         # Headline companion metric: time to 1e-6/px primal-dual gap on
         # ROF 512x512 (BASELINE.md).  Device seconds = iterations-to-gap
         # / measured throughput (host gap checks are tunnel artifacts,
@@ -381,23 +427,23 @@ def main(argv):
                      its_per_sec)
         # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs
         # path).  Reference stopping tolerance: 1e-7 (example_tvl1.m:47-53).
-        v = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
-        _extra("tvl1_512_pdhg_iters_per_sec", v, "it/s", 3000.0)
+        m = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
+        _extra("tvl1_512_pdhg_iters_per_sec", m, "it/s", 3000.0)
         it = measure_iters_to_tol(
             lambda so: build_rof(512, 512, lmb=1.0, dataterm="abs",
                                  sopts=so)[0], 1e-7)
-        _time_to_tol("tvl1_512_seconds_to_tol_1e-7", it, v)
-        # TV deblurring 512x512 (full config 2: conv + gradient blocks,
-        # fused deblur kernel with the conv as in-kernel shifted-adds).
-        # Reference: ~15 kernels/iter incl. two cusparse csrmv over the
-        # convmtx2 matrix; ~1500 it/s estimate on prost's target GPUs.
-        # Stopping tolerance: 1e-4 (prost.options defaults, options.m:4-8).
-        v = measure_backend(build_deblur(512, 512), short=1000, long_=11000)
-        _extra("deblur512_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        _time_to_tol("tvl1_512_seconds_to_tol_1e-7", it, m["value"])
+        # TV deblurring 512x512 on the blurred cow fixture (full config
+        # 2: conv + gradient blocks, fused deblur kernel with the conv as
+        # in-kernel shifted-adds).  Reference: ~15 kernels/iter incl. two
+        # cusparse csrmv over the convmtx2 matrix; ~1500 it/s estimate on
+        # prost's target GPUs.  Stopping tolerance: 1e-4 (options.m:4-8).
+        m = measure_backend(build_deblur(512, 512), short=1000, long_=11000)
+        _extra("deblur512_pdhg_iters_per_sec", m, "it/s", 1500.0)
         it = measure_iters_to_tol(
             lambda so: build_deblur(512, 512, sopts=so), 1e-4, check=1000,
             max_iters=100_000)
-        _time_to_tol("deblur512_seconds_to_tol_1e-4", it, v)
+        _time_to_tol("deblur512_seconds_to_tol_1e-4", it, m["value"])
         # ADMM on ROF 512x512 (config 4; fused Pallas chunk incl. the
         # <=10-step CGLS inner loop = ~20 operator applies/iteration).
         # Reference estimate: ~15 kernels + the cuBLAS CG loop per
@@ -409,8 +455,8 @@ def main(argv):
         _, prob = build_rof(512, 512)
         admm = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
                             _solver_opts())
-        v = measure_backend(admm, short=500, long_=5500, repeats=2)
-        _extra("rof512_admm_iters_per_sec", v, "it/s", 600.0)
+        m = measure_backend(admm, short=500, long_=5500, repeats=2)
+        _extra("rof512_admm_iters_per_sec", m, "it/s", 600.0)
 
         def make_admm(so):
             _, p = build_rof(512, 512)
@@ -418,48 +464,64 @@ def main(argv):
 
         it = measure_iters_to_tol(make_admm, 1e-4, check=500,
                                   max_iters=50_000)
-        _time_to_tol("rof512_admm_seconds_to_tol_1e-4", it, v)
+        _time_to_tol("rof512_admm_seconds_to_tol_1e-4", it, m["value"])
         # multilabel 8 labels 256x256 on the cow fixture (config 3; fused
         # multilabel path).  The reference's per-iteration work is ~9x the
         # ROF 512 case per pixel-label; CUDA estimate ~1500 it/s at this
         # size.  Stopping tolerance: 1e-5 (example_multilabel_fast.m:55-60).
-        v = measure_backend(build_multilabel(256, 256, L=8),
+        m = measure_backend(build_multilabel(256, 256, L=8),
                             short=500, long_=5500)
-        _extra("multilabel256x8_pdhg_iters_per_sec", v, "it/s", 1500.0)
+        _extra("multilabel256x8_pdhg_iters_per_sec", m, "it/s", 1500.0)
         it = measure_iters_to_tol(
             lambda so: build_multilabel(256, 256, L=8, sopts=so), 1e-5,
             check=1000, max_iters=100_000)
-        _time_to_tol("multilabel256x8_seconds_to_tol_1e-5", it, v)
+        _time_to_tol("multilabel256x8_seconds_to_tol_1e-5", it, m["value"])
         # tight multilabel relaxation 128x128, 4 labels (config 3's
         # heavier variant: 6 pairwise multiplier planes).  Reference
         # estimate ~2000 it/s (13 planes of state, ~12 kernels/iter).
         # Stopping tolerance: 2e-6 (example_multilabel_tight.m:97-102).
-        v = measure_backend(build_tight(128, 128, L=4))
-        _extra("tight128x4_pdhg_iters_per_sec", v, "it/s", 2000.0)
+        m = measure_backend(build_tight(128, 128, L=4))
+        _extra("tight128x4_pdhg_iters_per_sec", m, "it/s", 2000.0)
         it = measure_iters_to_tol(
             lambda so: build_tight(128, 128, L=4, sopts=so), 2e-6,
             check=2000, max_iters=200_000)
-        _time_to_tol("tight128x4_seconds_to_tol_2e-6", it, v)
+        _time_to_tol("tight128x4_seconds_to_tol_2e-6", it, m["value"])
         # 1024-instance ROF ensemble at 128x128 (config 5).  Metric:
         # instance-iterations/sec.  The reference runs one instance at a
         # time (~5000 it/s at this launch-bound size), so its
         # instance-iteration rate IS its single-solve rate.
         B = 1024
-        v = measure_backend(build_ensemble(B, 128, 128),
+        m = measure_backend(build_ensemble(B, 128, 128),
                             short=100, long_=1100, repeats=2)
-        _extra("ensemble1024x128_instance_iters_per_sec", v * B, "it/s",
+        m = {**m, "value": m["value"] * B, "min": m["min"] * B,
+             "max": m["max"] * B}
+        _extra("ensemble1024x128_instance_iters_per_sec", m, "it/s",
                5000.0)
         # Large sizes through the grid-banded kernels (the whole-plane
         # VMEM cap would otherwise force the 6-17x slower generic path):
         # ROF 2048x2048 (8 bands; reference csrmv/kernel streaming scales
         # pixel-linearly from ~3000 it/s at 512^2 -> ~187 it/s) and
         # multilabel 512x512x8 (4 bands; ~375 it/s scaled from 1500).
-        v = measure_backend(build_rof(2048, 2048)[0],
+        # hw_verified names the VERIFY_r*.json artifact backing the
+        # banded kernels' hardware bit-equivalence.
+        m = measure_backend(build_rof(2048, 2048)[0],
                             short=200, long_=2200, repeats=2)
-        _extra("rof2048_banded_iters_per_sec", v, "it/s", 187.0)
-        v = measure_backend(build_multilabel(512, 512, L=8),
+        _extra("rof2048_banded_iters_per_sec", m, "it/s", 187.0,
+               banded=True, verify=verify)
+        m = measure_backend(build_multilabel(512, 512, L=8),
                             short=200, long_=2200, repeats=2)
-        _extra("multilabel512x8_banded_iters_per_sec", v, "it/s", 375.0)
+        _extra("multilabel512x8_banded_iters_per_sec", m, "it/s", 375.0,
+               banded=True, verify=verify)
+        # banded Chebyshev-ADMM at 2048x2048 (round-3: the last size
+        # cliff removed — previously fell to the ~2.5k-at-512^2-scaled
+        # generic path; pixel-linear reference estimate 600/16 = 37.5)
+        _, prob = build_rof(2048, 2048)
+        admm = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
+                            _solver_opts())
+        assert admm.mode == "banded", admm.mode
+        m = measure_backend(admm, short=100, long_=1100, repeats=2)
+        _extra("rof2048_admm_banded_iters_per_sec", m, "it/s", 37.5,
+               banded=True, verify=verify)
 
     return 0
 

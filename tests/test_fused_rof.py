@@ -254,3 +254,27 @@ def test_cpu_without_interpret_falls_back():
     assert b.rof is None  # CPU, no interpret -> generic path
     s = b.run(b.initial_state(), 10)
     assert int(s.iteration) == 10
+
+
+def test_banded_double_buffer_matches_whole():
+    """The double-buffered banded kernel (cross-grid-step DMA pipelining)
+    must match the whole-plane chunk on owned rows."""
+    from prost_tpu.ops.fused_rof import (rof_fused_chunk,
+                                         rof_fused_chunk_banded)
+
+    rng = np.random.RandomState(31)
+    nx, ny = 128, 32
+    x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(x)
+    args = (0.9, 1.1, 1.0, 16.0, 0.5, 10)
+    ref = rof_fused_chunk(x, q, f, w, *args, interpret=True)
+    for nb in (2, 4):
+        db = rof_fused_chunk_banded(x, q, f, w, *args, nb, interpret=True,
+                                    double_buffer=True)
+        for i, (a, b) in enumerate(zip(ref[:4], db[:4])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6, err_msg=f"nb{nb} out{i}")
+        np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(db[4]),
+                                   rtol=1e-5)

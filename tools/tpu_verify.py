@@ -57,7 +57,13 @@ def verify_rof():
     ban = rof_fused_chunk_banded(x, q, f, w, *args, 4)
     ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:4], ban[:4])))
-    return ok and _check("norms", ref[4], ban[4], tol=1e-5)
+    ok = _check("norms", ref[4], ban[4], tol=1e-5) and ok
+    # double-buffered variant: cross-grid-step DMA pipelining is exactly
+    # the class of scheduling interpret mode cannot validate
+    db = rof_fused_chunk_banded(x, q, f, w, *args, 4, double_buffer=True)
+    ok = all(_check(f"db out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:4], db[:4]))) and ok
+    return ok and _check("db norms", ref[4], db[4], tol=1e-5)
 
 
 def verify_ml():
