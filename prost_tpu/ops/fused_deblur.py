@@ -93,18 +93,28 @@ def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
             u = roll(u, dy, 1)
         return u
 
+    def tree_sum(terms):
+        # pairwise tree instead of a left fold: the rolls are mutually
+        # independent, but f32 adds cannot be compiler-reassociated, so a
+        # T-term fold serializes T dependent adds (each behind 2 dependent
+        # rolls) — the measured latency bound of this roll-dominated
+        # kernel (12% VPU-flops / 16% issue slots, PERFORMANCE.md).  The
+        # tree cuts the critical path to ceil(log2 T).
+        while len(terms) > 1:
+            nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
+            if len(terms) % 2:
+                nxt.append(terms[-1])
+            terms = nxt
+        return terms[0]
+
     def fwd(u):
-        acc = None
-        for dx, dy, w in taps:
-            term = w * roll2(u, dx, dy)
-            acc = term if acc is None else acc + term
-        return acc
+        return tree_sum([w * roll2(u, dx, dy) for dx, dy, w in taps])
 
     def adj(v):
-        acc = None
-        for dx, dy, w in taps:
-            term = w * roll2(v, (nx2 - dx) % nx2, (ny2 - dy) % ny2)
-            acc = term if acc is None else acc + term
+        acc = tree_sum([
+            w * roll2(v, (nx2 - dx) % nx2, (ny2 - dy) % ny2)
+            for dx, dy, w in taps
+        ])
         return jnp.where(region, acc, 0.0)
 
     return fwd, adj, region

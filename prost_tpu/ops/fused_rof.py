@@ -1061,11 +1061,27 @@ class FusedROFPDHG(BackendPDHG):
                     self.tight = None
                 else:
                     self.tight["n_bands"] = nb
-        if ((self.rof or self.ml or self.deblur or self.tight)
+        self.vol = None
+        if usable and not (self.rof or self.ml or self.deblur
+                           or self.tight):
+            from .fused_vol import match_vol_structure, vol_band_count
+
+            self.vol = match_vol_structure(problem)
+            if self.vol is not None:
+                nb = vol_band_count(
+                    self.vol["L"], self.vol["nx"], self.vol["ny"],
+                    opts.residual_iter)
+                if nb is None:
+                    self.vol = None
+                else:
+                    self.vol["n_bands"] = nb
+        if ((self.rof or self.ml or self.deblur or self.tight or self.vol)
                 and self.solver_opts.verbose):
             kind = ("ROF" if self.rof
                     else "multilabel" if self.ml
-                    else "deblur" if self.deblur else "tight-multilabel")
+                    else "deblur" if self.deblur
+                    else "tight-multilabel" if self.tight
+                    else "volumetric-TV")
             print(f"FusedROFPDHG: using fused Pallas iteration ({kind}).")
 
     def run(self, state: PDHGState, until_iter: int) -> PDHGState:
@@ -1120,12 +1136,24 @@ class FusedROFPDHG(BackendPDHG):
                      jnp.asarray(t["d_s"], jnp.float32)),
                     state, jnp.asarray(until_iter, jnp.int32),
                 )
+            if self.vol is not None:
+                from .fused_vol import _fused_vol_run
+
+                v = self.vol
+                return _fused_vol_run(
+                    self.problem, self.prox_g, self.prox_fstar, self.opts,
+                    v["L"], v["nx"], v["ny"], v["lmb"], v["dataterm"],
+                    v["n_bands"], self.interpret,
+                    tols, v["f"], v["w"],
+                    jnp.asarray(v["radius"], jnp.float32),
+                    state, jnp.asarray(until_iter, jnp.int32),
+                )
         except jax.errors.JaxRuntimeError as e:
             # fits_vmem is an estimate; if the Mosaic compile rejects the
             # whole-plane kernel (VMEM/SMEM capacity) fall back to the
             # generic path permanently.  The compile fails before any
             # donated buffer is consumed, so re-running is safe.
-            self.rof = self.ml = self.deblur = self.tight = None
+            self.rof = self.ml = self.deblur = self.tight = self.vol = None
             if self.solver_opts.verbose:
                 print(f"FusedROFPDHG: kernel compile failed ({e});"
                       " falling back to the generic path.")

@@ -1,0 +1,487 @@
+"""Fused Pallas PDHG for volumetric-TV problems (BlockGradient3D).
+
+Workload: min_u c/2 ||u - f||^2 (or c |u - f|) + ||grad3 u||_{2,1} on an
+(L, nx, ny) volume, where grad3 = BlockGradient3D (x/y forward differences
+with Neumann boundary + a z/"label" difference with DIRICHLET far
+boundary, block_gradient3d.cu:153-174; linop/gradient.py).  The reference
+treats this operator as first-class but ships no fused path anywhere —
+here the whole residual_iter chunk runs in one Pallas kernel exactly like
+ops/fused_rof.py, with a THIRD stencil pair and the gradient3d alpha
+preconditioner constants Sigma = 1/row_sum = 1/2, Tau = 1/col_sum = 1/6
+(block_gradient3d.cu:165-174).
+
+Volumes too large for VMEM run a grid-banded kernel over the nx axis
+(rows of every z-plane), same DMA discipline as fused_rof
+(memory_space=ANY in/out, 8-aligned window offsets, owned rows
+bit-identical to the whole-volume kernel).
+
+Layout contract: u viewed (L, nx, ny) (label_first=False), y = [gx; gy;
+gl] stacked (3, L, nx, ny) -> flat (3*L*nx*ny,) in BlockGradient3D's
+segment order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..backend.pdhg import PDHGState, pdhg_step, residual_and_adapt
+from ..linop.base import LinearOperator
+from ..linop.gradient import BlockGradient3D
+from ..prox.combinators import ProxMoreau
+from ..prox.elemop import ProxElem1D, ProxElemNorm2
+
+_VMEM_LIMIT = 96 * 1024 * 1024
+_SQRT_S = 0.7071067811865476      # sqrt(1/2)
+_SQRT_T = 0.4082482904638631      # sqrt(1/6)
+
+
+def _vol_ops(shape, roll, row_offset=None, nx_global=None):
+    """The six gradient3d stencils on an (L, nxb, ny) block via roll +
+    iota masks: x/y forward differences with Neumann boundary (zero at
+    the far edge), z/label difference with Dirichlet far boundary
+    (last = -u_last), plus the three adjoints.  With (row_offset,
+    nx_global) the x-row masks use GLOBAL rows (halo-extended bands)."""
+    L = shape[0]
+    ri = lax.broadcasted_iota(jnp.int32, shape, 1)
+    ci = lax.broadcasted_iota(jnp.int32, shape, 2)
+    li = lax.broadcasted_iota(jnp.int32, shape, 0)
+    if row_offset is not None:
+        gri = ri + row_offset
+        not_last_r = gri < (nx_global - 1)
+        not_first_r = gri > 0
+    else:
+        not_last_r = ri < (shape[1] - 1)
+        not_first_r = ri > 0
+    not_last_c = ci < (shape[2] - 1)
+    not_first_c = ci > 0
+    not_last_l = li < (L - 1)
+    not_first_l = li > 0
+
+    def dx(u):
+        return jnp.where(not_last_r, roll(u, shape[1] - 1, 1) - u, 0.0)
+
+    def dy(u):
+        return jnp.where(not_last_c, roll(u, shape[2] - 1, 2) - u, 0.0)
+
+    def dl(u):
+        # Dirichlet at the far z boundary: gl_last = 0 - u_last
+        return jnp.where(not_last_l, roll(u, L - 1, 0), 0.0) - u
+
+    def dxt(p):
+        lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
+        return lead - jnp.where(not_last_r, p, 0.0)
+
+    def dyt(p):
+        lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
+        return lead - jnp.where(not_last_c, p, 0.0)
+
+    def dlt(p):
+        return jnp.where(not_first_l, roll(p, 1, 0), 0.0) - p
+
+    return dx, dy, dl, dxt, dyt, dlt
+
+
+def _vol_update(u, qx, qy, ql, gx, gy, gl, dt0, dt1, tau, sig_p, sig_t,
+                radius, ops, dataterm: str):
+    """One preconditioned PDHG update on VMEM-resident volumes (cf.
+    fused_rof._rof_update, with the third stencil).  (gx, gy, gl) is
+    grad3(u) carried from the previous iteration."""
+    _dx, _dy, _dl, _dxt, _dyt, _dlt = ops
+    kty = _dxt(qx) + _dyt(qy) + _dlt(ql)
+
+    arg = u - tau * kty
+    if dataterm in ("square", "wsquare"):
+        u_new = (arg + dt0) * dt1
+    else:  # abs
+        d = arg - dt0
+        u_new = dt0 + jnp.sign(d) * jnp.maximum(jnp.abs(d) - dt1, 0.0)
+
+    gx_n, gy_n, gl_n = _dx(u_new), _dy(u_new), _dl(u_new)
+    ax = qx + sig_p * gx_n - sig_t * gx
+    ay = qy + sig_p * gy_n - sig_t * gy
+    al = ql + sig_p * gl_n - sig_t * gl
+    scale = jnp.minimum(
+        1.0, radius * lax.rsqrt(ax * ax + ay * ay + al * al))
+    return (u_new, ax * scale, ay * scale, al * scale,
+            gx_n, gy_n, gl_n, kty)
+
+
+def _vol_chunk_core(tau_raw, sigma_raw, theta, lmb, radius, u0, q0, f, w,
+                    count: int, dataterm: str, halo_ctx=None):
+    """``count - 1`` plain iterations then the aligned iteration with its
+    four preconditioned residual norms (squared); cf. fused_rof._chunk_core.
+    q0 is (3, L, nxb, ny) stacked [gx; gy; gl]."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    tau = tau_raw * (1.0 / 6.0)   # tau * Tau
+    sigma_p = sigma_raw * 0.5     # sigma * Sigma
+    sig_p = sigma_p * (1.0 + theta)
+    sig_t = sigma_p * theta
+    w = w if dataterm == "wsquare" else None
+    if dataterm == "square":
+        dt0, dt1 = (tau * lmb) * f, 1.0 / (1.0 + tau * lmb)
+    elif dataterm == "wsquare":
+        tw = (tau * lmb) * w
+        dt0, dt1 = tw * f, 1.0 / (1.0 + tw)
+    else:
+        dt0, dt1 = f, tau * lmb
+
+    if halo_ctx is not None:
+        row_offset, nx_global, own_lo, own_hi = halo_ctx
+        ops = _vol_ops(f.shape, pltpu.roll, row_offset, nx_global)
+        lri = lax.broadcasted_iota(jnp.int32, f.shape, 1)
+        owned = (lri >= own_lo) & (lri < own_hi)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+    else:
+        ops = _vol_ops(f.shape, pltpu.roll)
+        nsum = jnp.sum
+    _dx, _dy, _dl = ops[0], ops[1], ops[2]
+
+    def body(_, carry):
+        u, qx, qy, ql, gx, gy, gl = carry
+        u, qx, qy, ql, gx, gy, gl, _ = _vol_update(
+            u, qx, qy, ql, gx, gy, gl, dt0, dt1, tau, sig_p, sig_t,
+            radius, ops, dataterm)
+        return u, qx, qy, ql, gx, gy, gl
+
+    u, qx, qy, ql, gxp, gyp, glp = lax.fori_loop(
+        0, count - 1, body,
+        (u0, q0[0], q0[1], q0[2], _dx(u0), _dy(u0), _dl(u0)))
+
+    u2, qx2, qy2, ql2, gx2, gy2, gl2, ktyp = _vol_update(
+        u, qx, qy, ql, gxp, gyp, glp, dt0, dt1, tau, sig_p, sig_t,
+        radius, ops, dataterm)
+    kty2 = ops[3](qx2) + ops[4](qy2) + ops[5](ql2)
+
+    inv_s = 1.0 / (sigma_raw * _SQRT_S)
+    zh_x = (qx - qx2) * inv_s + _SQRT_S * ((1.0 + theta) * gx2 - theta * gxp)
+    zh_y = (qy - qy2) * inv_s + _SQRT_S * ((1.0 + theta) * gy2 - theta * gyp)
+    zh_l = (ql - ql2) * inv_s + _SQRT_S * ((1.0 + theta) * gl2 - theta * glp)
+    pd_x = zh_x - _SQRT_S * gx2
+    pd_y = zh_y - _SQRT_S * gy2
+    pd_l = zh_l - _SQRT_S * gl2
+    wh = (u - u2) * (1.0 / (tau_raw * _SQRT_T)) - _SQRT_T * ktyp
+    dd = wh + _SQRT_T * kty2
+
+    norms = (
+        nsum(pd_x * pd_x) + nsum(pd_y * pd_y) + nsum(pd_l * pd_l),
+        nsum(zh_x * zh_x) + nsum(zh_y * zh_y) + nsum(zh_l * zh_l),
+        nsum(dd * dd),
+        nsum(wh * wh),
+    )
+    return (u2, jnp.stack([qx2, qy2, ql2]),
+            u, jnp.stack([qx, qy, ql]), norms)
+
+
+def _vol_chunk_kernel(scal_ref, u_ref, q_ref, f_ref, w_ref,
+                      uo_ref, qo_ref, upo_ref, qpo_ref, norms_ref, *,
+                      count: int, dataterm: str):
+    q = q_ref[...]
+    u2, q2, up, qp, norms = _vol_chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        u_ref[...], q, f_ref[...], w_ref[...], count, dataterm)
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    uo_ref[...] = u2
+    qo_ref[...] = q2
+    upo_ref[...] = up
+    qpo_ref[...] = qp
+
+
+def vol_fused_chunk(u, q, f, w, tau, sigma, theta, lmb, radius, count,
+                    dataterm: str = "square", interpret: bool = False):
+    """``count`` fused iterations on a VMEM-resident (L, nx, ny) volume.
+    q is (3, L, nx, ny).  Returns (u2, q2, u_prev, q_prev, norms2)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    scal = jnp.stack([jnp.asarray(v, u.dtype)
+                      for v in (tau, sigma, theta, lmb, radius)])
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4,), u.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_vol_chunk_kernel, count=int(count), dataterm=dataterm),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 4,
+        out_specs=[plane] * 4 + [smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, f, w)
+
+
+def _vol_banded_kernel(scal_ref, u_hbm, q_hbm, f_hbm, w_hbm,
+                       uo, qo, upo, qpo, norms_ref,
+                       us, qs, fs, ws, qps, sem, *,
+                       count: int, nx: int, rows: int, halo: int,
+                       dataterm: str):
+    """Grid-banded volumetric chunk: bands over the nx axis (dim 1 of the
+    (L, nx, ny) volume), clamped halo-extended window DMAs, owned rows out
+    at global offsets — same discipline as fused_rof._rof_banded_kernel
+    (memory_space=ANY in AND out; 8*(...)-constructed offsets; hardware
+    verification mandatory after changes, tools/tpu_verify.py)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    ext = us.shape[1]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    start = 8 * start8
+    own_lo = 8 * (i * r8 - start8)
+
+    def copies(pairs):
+        cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+    fetches = [
+        (u_hbm.at[:, pl.ds(start, ext)], us),
+        (q_hbm.at[:, :, pl.ds(start, ext)], qs),
+        (f_hbm.at[:, pl.ds(start, ext)], fs),
+    ]
+    if dataterm == "wsquare":
+        fetches.append((w_hbm.at[:, pl.ds(start, ext)], ws))
+    copies(fetches)
+
+    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    u2, q2, up, qp, norms = _vol_chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        us[...], qs[...], fs[...], ws[...], count, dataterm,
+        halo_ctx=halo_ctx)
+    for j in range(4):
+        norms_ref[j, i] = norms[j]
+
+    us[...] = u2
+    qs[...] = q2
+    ws[...] = up
+    qps[...] = qp
+    lo = 8 * (i * r8)
+    copies([
+        (us.at[:, pl.ds(own_lo, rows)], uo.at[:, pl.ds(lo, rows)]),
+        (qs.at[:, :, pl.ds(own_lo, rows)], qo.at[:, :, pl.ds(lo, rows)]),
+        (ws.at[:, pl.ds(own_lo, rows)], upo.at[:, pl.ds(lo, rows)]),
+        (qps.at[:, :, pl.ds(own_lo, rows)],
+         qpo.at[:, :, pl.ds(lo, rows)]),
+    ])
+
+
+def vol_fused_chunk_banded(u, q, f, w, tau, sigma, theta, lmb, radius,
+                           count, n_bands: int, dataterm: str = "square",
+                           interpret: bool = False):
+    """``count`` fused iterations with the volume split into ``n_bands``
+    nx-row bands inside ONE kernel.  Same returns as ``vol_fused_chunk``."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nx, ny = u.shape
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    scal = jnp.stack([jnp.asarray(v, u.dtype)
+                      for v in (tau, sigma, theta, lmb, radius)])
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4, n_bands), u.dtype),
+    ]
+    dt = u.dtype
+    vm = pltpu.VMEM
+    outs = pl.pallas_call(
+        partial(_vol_banded_kernel, count=int(count), nx=nx, rows=rows,
+                halo=halo, dataterm=dataterm),
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem, hbm, hbm, hbm, hbm],
+        out_specs=[hbm] * 4 + [smem],
+        scratch_shapes=[
+            vm((L, ext, ny), dt), vm((3, L, ext, ny), dt),
+            vm((L, ext, ny), dt), vm((L, ext, ny), dt),
+            vm((3, L, ext, ny), dt),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, f, w)
+    return outs[0], outs[1], outs[2], outs[3], jnp.sum(outs[4], axis=1)
+
+
+def vol_fits_vmem(L: int, nx: int, ny: int, itemsize: int = 4) -> bool:
+    """~(13 volumes + 8 q-triples)-ish of live state: use 22 L-volumes."""
+    return 22 * L * nx * ny * itemsize <= _VMEM_LIMIT
+
+
+def vol_band_count(L: int, nx: int, ny: int, residual_iter: int,
+                   itemsize: int = 4) -> int | None:
+    """nx-band tiling factor (cf. fused_rof.band_count); 1 = whole
+    volume, None = no efficient tiling."""
+    from .fused_rof import band_count
+
+    return band_count(nx, ny, residual_iter, n_planes=22 * L,
+                      itemsize=itemsize)
+
+
+def match_vol_structure(problem):
+    """Detect the fusable volumetric-TV structure: lone BlockGradient3D
+    (label_first=False), 1D square/abs data term, Moreau(norm2 abs dim=3
+    planar) or norm2 ind_leq0 dual, alpha preconditioner constants
+    (Sigma = 1/2, Tau = 1/6)."""
+    import numpy as np
+
+    from ..config import dtype
+
+    if dtype() != jnp.float32:
+        return None
+    linop = problem.linop
+    if not isinstance(linop, LinearOperator) or len(linop.blocks) != 1:
+        return None
+    blk = linop.blocks[0]
+    if not isinstance(blk, BlockGradient3D) or blk.label_first:
+        return None
+    if len(problem.prox_g) != 1 or len(problem.prox_fstar) != 1:
+        return None
+    pg = problem.prox_g[0]
+    if not isinstance(pg, ProxElem1D) or pg.fun not in ("square", "abs"):
+        return None
+    a, b, c, d, e, _, _ = pg.coeffs
+    if not (np.isscalar(c) and np.isscalar(d) and d == 0.0
+            and np.isscalar(e) and e == 0.0):
+        return None
+    nvox = blk.nx * blk.ny * blk.L
+    if np.isscalar(a) and a == 1.0:
+        dataterm = "square" if pg.fun == "square" else "abs"
+        f = jnp.asarray(b, jnp.float32).reshape(blk.L, blk.nx, blk.ny)
+        w = f
+    elif pg.fun == "square" and np.asarray(a).size == nvox:
+        dataterm = "wsquare"
+        a_arr = np.asarray(a, np.float64)
+        b_arr = np.broadcast_to(np.asarray(b, np.float64), a_arr.shape)
+        safe = np.where(a_arr != 0, a_arr, 1.0)
+        f = jnp.asarray(np.where(a_arr != 0, b_arr / safe, 0.0),
+                        jnp.float32).reshape(blk.L, blk.nx, blk.ny)
+        w = jnp.asarray(a_arr**2, jnp.float32).reshape(
+            blk.L, blk.nx, blk.ny)
+    else:
+        return None
+
+    pf = problem.prox_fstar[0]
+    if isinstance(pf, ProxMoreau):
+        inner = pf.child
+        if not isinstance(inner, ProxElemNorm2) or inner.fun != "abs":
+            return None
+        if inner.dim != 3 or inner.interleaved:
+            return None
+        ia, ib, ic, idd, ie, _, _ = inner.coeffs
+        for v, want in ((ia, 1.0), (ib, 0.0), (idd, 0.0), (ie, 0.0)):
+            if not (np.isscalar(v) and v == want):
+                return None
+        if not np.isscalar(ic):
+            return None
+        radius = float(ic)
+    elif isinstance(pf, ProxElemNorm2) and pf.fun == "ind_leq0":
+        if pf.dim != 3 or pf.interleaved:
+            return None
+        ia, ib, ic, idd, ie, _, _ = pf.coeffs
+        for v in (ia, ib, ic):
+            if not np.isscalar(v):
+                return None
+        if idd != 0.0 or ie != 0.0 or ia <= 0:
+            return None
+        radius = float(ib) / float(ia)
+    else:
+        return None
+
+    sl = np.asarray(problem.scaling_left)
+    sr = np.asarray(problem.scaling_right)
+    if not (np.allclose(sl, 0.5) and np.allclose(sr, 1.0 / 6.0)):
+        return None
+    return {
+        "L": blk.L, "nx": blk.nx, "ny": blk.ny, "f": f, "w": w,
+        "lmb": float(c), "radius": radius, "dataterm": dataterm,
+    }
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(15,))
+def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
+                   dataterm, n_bands, interpret, tols, f_vol, w_vol,
+                   radius, state, until):
+    """Three-phase chunked run, identical structure to
+    fused_rof._fused_rof_run."""
+    ri = max(int(opts.residual_iter), 1)
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(s: PDHGState) -> PDHGState:
+        u = s.x.reshape(L, nx, ny)
+        q = s.y.reshape(3, L, nx, ny)
+        if n_bands == 1:
+            u2, q2, up, qp, norms2 = vol_fused_chunk(
+                u, q, f_vol, w_vol, s.tau, s.sigma, s.theta, lmb,
+                radius, ri, dataterm=dataterm, interpret=interpret)
+        else:
+            u2, q2, up, qp, norms2 = vol_fused_chunk_banded(
+                u, q, f_vol, w_vol, s.tau, s.sigma, s.theta, lmb,
+                radius, ri, n_bands, dataterm=dataterm,
+                interpret=interpret)
+        norms = jnp.sqrt(norms2)
+        s = dataclasses.replace(
+            s,
+            x=u2.reshape(-1), y=q2.reshape(-1),
+            x_prev=up.reshape(-1), y_prev=qp.reshape(-1),
+        )
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)

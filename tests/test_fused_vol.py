@@ -1,0 +1,122 @@
+"""Fused volumetric-TV kernel (ops/fused_vol.py) vs the generic path.
+
+Runs in Pallas interpreter mode on CPU; the real-TPU path is exercised by
+tools/tpu_verify.py (vol case).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+import prost_tpu as pt
+from prost_tpu.backend import BackendPDHG, PDHGOptions
+from prost_tpu.linop import BlockGradient3D, LinearOperator
+from prost_tpu.ops import FusedROFPDHG
+from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+
+def vol_problem(L, nx, ny, f, lmb, dataterm="square"):
+    n = L * nx * ny
+    grad = BlockGradient3D(row=0, col=0, nx=nx, ny=ny, L=L)
+    prox_g = [ProxElem1D(index=0, size=n, fun=dataterm,
+                         coeffs=(1.0, f.astype(np.float32), lmb,
+                                 0.0, 0.0, 0.0, 0.0))]
+    pn = ProxElemNorm2(index=0, size=3 * n, count=n, dim=3,
+                       interleaved=False, fun="abs",
+                       coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    return pt.Problem.create(
+        LinearOperator.create([grad]), prox_g=prox_g,
+        prox_fstar=[ProxMoreau(index=0, size=3 * n, child=pn)],
+    )
+
+
+def _opts(**kw):
+    kw.setdefault("verbose", False)
+    for k in ("tol_rel_primal", "tol_rel_dual",
+              "tol_abs_primal", "tol_abs_dual"):
+        kw.setdefault(k, 0.0)
+    return pt.SolverOptions(**kw)
+
+
+@pytest.mark.parametrize("residual_iter,dataterm",
+                         [(1, "square"), (7, "square"), (10, "abs")])
+def test_fused_vol_matches_generic(residual_iter, dataterm):
+    L, nx, ny = 4, 16, 16
+    rng = np.random.RandomState(3)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0, dataterm)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 41)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.vol is not None and fus.vol["n_bands"] == 1
+    fs = fus.run(fus.initial_state(), 41)
+
+    assert int(fs.iteration) == int(gs.iteration) == 41
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_vol_banded_matches_whole(n_bands):
+    from prost_tpu.ops.fused_vol import (vol_fused_chunk,
+                                         vol_fused_chunk_banded)
+
+    rng = np.random.RandomState(5)
+    L, nx, ny = 3, 128, 32
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    w = jnp.ones_like(u)
+    args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
+    ref = vol_fused_chunk(u, q, f, w, *args, interpret=True)
+    ban = vol_fused_chunk_banded(u, q, f, w, *args, n_bands,
+                                 interpret=True)
+    for i, (a, b) in enumerate(zip(ref[:4], ban[:4])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, err_msg=f"out[{i}]")
+    np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(ban[4]),
+                               rtol=1e-5)
+
+
+def test_vol_banded_end_to_end_matches_generic():
+    L, nx, ny = 3, 64, 16
+    rng = np.random.RandomState(7)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    fus = FusedROFPDHG(prob, popts, _opts(), interpret=True)
+    assert fus.vol is not None
+    fus.vol["n_bands"] = 2  # force the banded route at test size
+    fs = fus.run(fus.initial_state(), 31)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_vol_full_solve_converges():
+    L, nx, ny = 3, 24, 24
+    rng = np.random.RandomState(8)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 8.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = _opts(max_iters=4000, tol_rel_primal=1e-5, tol_rel_dual=1e-5,
+                  tol_abs_primal=1e-5, tol_abs_dual=1e-5)
+    solver = pt.Solver(
+        prob, lambda p, o: FusedROFPDHG(p, popts, o, interpret=True),
+        sopts)
+    res = solver.solve()
+    assert res.result == pt.ConvergenceResult.CONVERGED

@@ -298,6 +298,29 @@ def verify_ensemble_banded():
     return ok and _check("norms", ref[4], ban[4], tol=1e-5)
 
 
+def verify_vol():
+    """Banded volumetric-TV kernel vs the whole-volume kernel on real
+    hardware (ops/fused_vol.py)."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_vol import (vol_fused_chunk,
+                                         vol_fused_chunk_banded)
+
+    print("volumetric banded (8x256x256, nb=2, ri=10):")
+    rng = np.random.RandomState(11)
+    L, nx, ny = 8, 256, 256
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    w = jnp.ones_like(u)
+    args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
+    ref = vol_fused_chunk(u, q, f, w, *args)
+    ban = vol_fused_chunk_banded(u, q, f, w, *args, 2)
+    ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:4], ban[:4])))
+    return ok and _check("norms", ref[4], ban[4], tol=1e-5)
+
+
 def main():
     import jax
 
@@ -316,7 +339,8 @@ def main():
                      ("tight", verify_tight), ("deblur", verify_deblur),
                      ("admm", verify_admm), ("admm_banded", verify_admm_banded),
                      ("sharded_banded", verify_sharded_banded),
-                     ("ensemble_banded", verify_ensemble_banded)):
+                     ("ensemble_banded", verify_ensemble_banded),
+                     ("vol", verify_vol)):
         if want and name not in want:
             continue
         del _CHECKS[:]
