@@ -201,6 +201,33 @@ def build_tight(nx, ny, L=4, lmb=1.0, seed=42, sopts=None):
     return FusedROFPDHG(prob.finalize(), _pdhg_opts(), sopts or _solver_opts())
 
 
+def build_vol(L, nx, ny, lmb=6.0, seed=42, sopts=None):
+    """Volumetric TV on an (L, nx, ny) grid (BlockGradient3D; fused
+    whole-volume/banded kernel, ops/fused_vol.py).  The reference ships
+    gradient3d as a first-class operator (block_gradient3d.cu) but no 3D
+    example; this measures the operator family at multilabel-like cost."""
+    import prost_tpu as pt
+    from prost_tpu.linop import BlockGradient3D, LinearOperator
+    from prost_tpu.ops import FusedROFPDHG
+    from prost_tpu.prox import ProxElem1D, ProxElemNorm2, ProxMoreau
+
+    n = L * nx * ny
+    rng = np.random.RandomState(seed)
+    base = _test_image(nx, ny, seed)
+    f = np.stack([base + 0.02 * rng.randn(nx, ny) for _ in range(L)],
+                 axis=0).reshape(-1).astype(np.float32)
+    grad = BlockGradient3D(row=0, col=0, nx=nx, ny=ny, L=L)
+    prox_g = [ProxElem1D(index=0, size=n, fun="square",
+                         coeffs=(1.0, f, lmb, 0.0, 0.0, 0.0, 0.0))]
+    pn = ProxElemNorm2(index=0, size=3 * n, count=n, dim=3,
+                       interleaved=False, fun="abs",
+                       coeffs=(1.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.0))
+    prob = pt.Problem.create(
+        LinearOperator.create([grad]), prox_g=prox_g,
+        prox_fstar=[ProxMoreau(index=0, size=3 * n, child=pn)])
+    return FusedROFPDHG(prob, _pdhg_opts(), sopts or _solver_opts())
+
+
 def build_ensemble(B, nx, ny, seed=42):
     """B-instance ROF ensemble (BASELINE config 5) on one chip: the batch
     axis becomes the fused chunk kernel's grid axis (parallel/ensemble.py).
@@ -512,6 +539,12 @@ def main(argv):
                             short=200, long_=2200, repeats=2)
         _extra("multilabel512x8_banded_iters_per_sec", m, "it/s", 375.0,
                banded=True, verify=verify)
+        # volumetric TV 8x256x256 (gradient3d; round-3 fused path — the
+        # reference treats gradient3d as first-class, per-voxel cost ~ the
+        # multilabel case: ~1500 it/s estimate at this size)
+        m = measure_backend(build_vol(8, 256, 256), short=500, long_=5500,
+                            repeats=2)
+        _extra("vol256x8_pdhg_iters_per_sec", m, "it/s", 1500.0)
         # banded Chebyshev-ADMM at 2048x2048 (round-3: the last size
         # cliff removed — previously fell to the ~2.5k-at-512^2-scaled
         # generic path; pixel-linear reference estimate 600/16 = 37.5)
