@@ -366,3 +366,12 @@ def test_sharded_example_paths_agree():
               interpret=True)
     assert out["n_shards"] == 4
     assert out["diff"] < 1e-5  # same trajectory on both sharded paths
+
+
+def test_vol_tv_example_denoises():
+    from example_vol_tv import run
+
+    out = run(size=32, L=4, max_iters=3000, verbose=False)
+    # joint 3D TV must beat the noisy input substantially
+    assert out["noise_out"] < 0.75 * out["noise_in"]
+    assert out["result"] is not None

@@ -74,6 +74,30 @@ def main():
         print(f"ROF {nx}^2 nb={nb} double-buffer: {1e6*t2:.0f} us/chunk "
               f"({t2/t1:.3f}x of single)", flush=True)
 
+    # whole-plane ADMM chunk: CGLS (reductions + masked loop) vs
+    # Chebyshev (pure stencils) at 512^2, ri=10
+    from prost_tpu.ops.fused_admm import admm_fused_chunk
+
+    nx = ny = 512
+    xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)
+    xp_, xd, warm = xh + 0.1, xh * 0.5, xh * 0.2
+    zh = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    zp_, zd = zh * 0.9, zh * 0.1
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(f)
+    rho = jnp.asarray(1.0, jnp.float32)
+    tols = jnp.asarray(np.full(10, 1e-9), jnp.float32)
+    cg = jax.jit(lambda *a: admm_fused_chunk(*a, tols, 10, 10, 1.7))
+    t1 = timeit(cg, xh, xp_, xd, zh, zp_, zd, warm, f, w, rho, 16.0, 0.5,
+                short=20, long_=120)
+    print(f"ADMM 512^2 whole cgls:  {1e6*t1:.0f} us/chunk", flush=True)
+    ch = jax.jit(lambda *a: admm_fused_chunk(*a, tols, 10, 10, 1.7,
+                                             cheby_degree=10))
+    t2 = timeit(ch, xh, xp_, xd, zh, zp_, zd, warm, f, w, rho, 16.0, 0.5,
+                short=20, long_=120)
+    print(f"ADMM 512^2 whole cheby: {1e6*t2:.0f} us/chunk "
+          f"({t2/t1:.3f}x of cgls)", flush=True)
+
     # banded Chebyshev-ADMM per-iteration kernel at 2048^2
     nx = ny = 2048
     xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)

@@ -70,11 +70,30 @@ def counts_tight(nx, ny, L, k):
 def counts_deblur(nx2, ny2, taps):
     """fused_deblur update per (nx2, ny2) pixel: conv adjoint 2T+1,
     gradient adjoints 6, primal 2, conv fwd 2T, stencils 4, conv-dual
-    update 7, ball 14."""
+    update 7, ball 14.
+
+    Latency analysis (round 3): each conv apply is 2T rolls (diagonal
+    motion taps need a row AND a column shift) feeding a T-term f32 sum
+    that the compiler cannot reassociate — a left fold serialized T
+    dependent adds behind 2-roll chains, which matched the measured
+    profile (12% VPU-flops at only 16% issue-slot occupancy: latency-,
+    not issue-bound).  The tap sums are now pairwise trees (critical
+    path ceil(log2 T)); rolls remain the dominant op class, so the
+    flops ceiling stays intrinsically lower than ROF's."""
     flops = 4 * taps + 38
     vpu_ops = flops + 2 * taps + 8
     planes_lb = 14
     return nx2 * ny2, flops, vpu_ops, planes_lb
+
+
+def counts_vol(L, nx, ny):
+    """fused_vol._vol_update per voxel: kty 3 adjoint stencils (3 rolls,
+    6 selects, 5 arith), data prox 4, three fwd stencils (3 rolls, 5
+    selects, 6 arith), dual args 12, 3-ball 8, scaled writes 3."""
+    flops = 38
+    vpu_ops = flops + 6 + 11
+    planes_lb = 15  # reads u,q(3),g(3),f | writes u2,q2(3),g2(3)
+    return L * nx * ny, flops, vpu_ops, planes_lb
 
 
 def report(name, px, flops_px, vpu_px, planes_lb, its_per_sec):
@@ -127,6 +146,8 @@ def main(argv):
            meas["tight128x4"])
     report("deblur 512x512 (T=9)", *counts_deblur(520, 520, 9),
            meas["deblur512"])
+    if "vol256x8" in meas:
+        report("vol 8x256x256", *counts_vol(8, 256, 256), meas["vol256x8"])
     print()
     # ROF chunk: reads x + q(2) + f (w dead for square), writes
     # x2 + q2(2) + x_prev + q_prev(2); in-kernel 43 us profiled (round 1)
