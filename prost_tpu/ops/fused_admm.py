@@ -345,12 +345,13 @@ def admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     )(scal, cg_tols, xh, xp, xd, zh, zp, zd, warm, f, w)
 
 
-def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
-                        zd_hbm, warm_hbm, f_hbm, w_hbm,
+def _admm_banded_kernel(scal_ref, off_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm,
+                        zp_hbm, zd_hbm, warm_hbm, f_hbm, w_hbm,
                         xho, xpo, xdo, zho, zpo, zdo, warmo, norms_ref,
                         xhs, xps, xds, zhs, zps, zds, warms, fs, ws, sem, *,
                         nx: int, ny: int, rows: int, halo: int, degree: int,
-                        alpha: float, dataterm: str, with_norms: bool):
+                        alpha: float, dataterm: str, with_norms: bool,
+                        own_lo: int):
     """ONE banded Chebyshev-ADMM outer iteration: grid over row bands,
     each band DMAs its clamped halo-extended window of the 10 state
     planes (+ f/w) HBM->VMEM, runs `_admm_iter` with the dot-product-free
@@ -369,10 +370,12 @@ def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
 
     i = pl.program_id(0)
     ext = xhs.shape[0]
-    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
-    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    nin = xh_hbm.shape[-2]  # input block height (== nx unless sharded)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+    start8 = jnp.clip(o8 + i * r8 - h8, 0, n8 - e8)
     start = 8 * start8
-    own_lo = 8 * (i * r8 - start8)
+    own_w = 8 * (o8 + i * r8 - start8)  # owned-lo within the window
 
     def copies(pairs):
         cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
@@ -396,7 +399,8 @@ def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
     copies(fetches)
 
     shape = (ext, ny)
-    ops = _shift_ops(shape, pltpu.roll, row_offset=start, nx_global=nx)
+    ops = _shift_ops(shape, pltpu.roll, row_offset=off_ref[0] + start,
+                     nx_global=nx)
     scal0 = scal_ref[0]
     project = partial(_cheby_project, degree=degree, ops=ops)
     w = ws[...] if dataterm == "wsquare" else None
@@ -408,7 +412,7 @@ def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
 
     if with_norms:
         lri = lax.broadcasted_iota(jnp.int32, shape, 0)
-        owned = (lri >= own_lo) & (lri < own_lo + rows)
+        owned = (lri >= own_w) & (lri < own_w + rows)
 
         def nsum(v):
             return jnp.sum(jnp.where(owned, v, 0.0))
@@ -430,59 +434,73 @@ def _admm_banded_kernel(scal_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm, zp_hbm,
     warms[...] = u
     lo = 8 * (i * r8)
     copies([
-        (xhs.at[pl.ds(own_lo, rows)], xho.at[pl.ds(lo, rows)]),
-        (xps.at[pl.ds(own_lo, rows)], xpo.at[pl.ds(lo, rows)]),
-        (xds.at[pl.ds(own_lo, rows)], xdo.at[pl.ds(lo, rows)]),
-        (zhs.at[:, pl.ds(own_lo, rows)], zho.at[:, pl.ds(lo, rows)]),
-        (zps.at[:, pl.ds(own_lo, rows)], zpo.at[:, pl.ds(lo, rows)]),
-        (zds.at[:, pl.ds(own_lo, rows)], zdo.at[:, pl.ds(lo, rows)]),
-        (warms.at[pl.ds(own_lo, rows)], warmo.at[pl.ds(lo, rows)]),
+        (xhs.at[pl.ds(own_w, rows)], xho.at[pl.ds(lo, rows)]),
+        (xps.at[pl.ds(own_w, rows)], xpo.at[pl.ds(lo, rows)]),
+        (xds.at[pl.ds(own_w, rows)], xdo.at[pl.ds(lo, rows)]),
+        (zhs.at[:, pl.ds(own_w, rows)], zho.at[:, pl.ds(lo, rows)]),
+        (zps.at[:, pl.ds(own_w, rows)], zpo.at[:, pl.ds(lo, rows)]),
+        (zds.at[:, pl.ds(own_w, rows)], zdo.at[:, pl.ds(lo, rows)]),
+        (warms.at[pl.ds(own_w, rows)], warmo.at[pl.ds(lo, rows)]),
     ])
 
 
 def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
                      n_bands: int, degree: int, alpha: float,
                      dataterm: str = "square", interpret: bool = False,
-                     with_norms: bool = True):
+                     with_norms: bool = True, own_lo: int = 0,
+                     out_rows: int | None = None, nx_global=None,
+                     row_offset0=None):
     """One banded Chebyshev-ADMM outer iteration (single kernel launch,
     grid over ``n_bands`` row bands).  Returns the 7 updated state arrays
     + the 4-vector of SQUARED residual norms of the new iterate (zeros
     when ``with_norms=False`` — the cheaper kernel for non-residual
-    iterations)."""
+    iterations).  (own_lo, out_rows, nx_global, row_offset0) band a
+    halo-extended shard block instead (cf.
+    fused_rof.rof_fused_chunk_banded)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    nx, ny = xh.shape
+    nin, ny = xh.shape
+    out_rows = nin if out_rows is None else out_rows
+    nx_global = nin if nx_global is None else nx_global
     halo = admm_cheby_halo_rows(degree)
-    rows = nx // n_bands
-    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
-    ext = min(rows + 2 * halo, nx)
+    rows = out_rows // n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
+    assert own_lo % 8 == 0, own_lo
+    ext = min(rows + 2 * halo, nin)
 
     scal = jnp.stack([
         rho, jnp.asarray(lmb, xh.dtype), jnp.asarray(radius, xh.dtype),
     ])
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
-    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
-                 for a in (xh, xp, xd, zh, zp, zd, warm)]
+
+    def oshape(a):
+        return jax.ShapeDtypeStruct(
+            a.shape[:-2] + (out_rows, ny), a.dtype)
+
+    out_shape = [oshape(a) for a in (xh, xp, xd, zh, zp, zd, warm)]
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), xh.dtype))
     dt = xh.dtype
     pl1 = pltpu.VMEM((ext, ny), dt)
     pl2 = pltpu.VMEM((2, ext, ny), dt)
     outs = pl.pallas_call(
-        partial(_admm_banded_kernel, nx=nx, ny=ny, rows=rows, halo=halo,
-                degree=int(degree), alpha=float(alpha), dataterm=dataterm,
-                with_norms=with_norms),
+        partial(_admm_banded_kernel, nx=int(nx_global), ny=ny, rows=rows,
+                halo=halo, degree=int(degree), alpha=float(alpha),
+                dataterm=dataterm, with_norms=with_norms,
+                own_lo=int(own_lo)),
         grid=(n_bands,),
         out_shape=out_shape,
-        in_specs=[smem] + [hbm] * 9,
+        in_specs=[smem, smem] + [hbm] * 9,
         out_specs=[hbm] * 7 + [smem],
         scratch_shapes=[pl1, pl1, pl1, pl2, pl2, pl2, pl1, pl1, pl1,
                         pltpu.SemaphoreType.DMA],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, xh, xp, xd, zh, zp, zd, warm, f, w)
+    )(scal, off, xh, xp, xd, zh, zp, zd, warm, f, w)
     return outs[:7] + (jnp.sum(outs[7], axis=1),)
 
 

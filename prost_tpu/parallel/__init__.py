@@ -22,9 +22,10 @@ package is the TPU-native capability it lacks:
 from .ensemble import BatchedPDHG, stack_problems
 from .mesh import make_mesh
 from .spatial import ShardedPDHG
-from .spatial_fused import (ShardedFusedDeblur, ShardedFusedMultilabel,
-                            ShardedFusedROF, ShardedFusedTight)
+from .spatial_fused import (ShardedFusedADMM, ShardedFusedDeblur,
+                            ShardedFusedMultilabel, ShardedFusedROF,
+                            ShardedFusedTight)
 
 __all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG",
            "ShardedFusedROF", "ShardedFusedMultilabel", "ShardedFusedTight",
-           "ShardedFusedDeblur"]
+           "ShardedFusedDeblur", "ShardedFusedADMM"]

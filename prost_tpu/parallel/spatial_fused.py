@@ -873,3 +873,217 @@ def _sharded_fused_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb,
         return (s.iteration < until) & ~s.converged
 
     return lax.while_loop(cond_c, generic, state)
+
+
+class ShardedFusedADMM:
+    """Halo-exchange sharded fused ADMM for matched ROF/TV structures:
+    pixel rows partitioned over ``axis_name``, ONE outer iteration per
+    exchange (the Chebyshev projection's information reach is
+    2*degree + 4 rows), each shard running the banded Chebyshev-ADMM
+    kernel on its halo-extended block (ops/fused_admm.py) with
+    shard-global row offsets.
+
+    CGLS cannot be hand-sharded this way — every CG step takes two GLOBAL
+    dot products (a psum per step; that is what the auto-sharded generic
+    path would do).  The Chebyshev projection has no reductions, so the
+    ONLY communication is the per-iteration 10-plane halo exchange plus a
+    4-scalar psum at residual iterations.  Generic align/tail phases run
+    the plan-based generic Chebyshev projection under XLA's auto-SPMD.
+    """
+
+    def __init__(self, problem, opts, solver_opts, mesh,
+                 axis_name: str = "sp", interpret: bool = False):
+        import dataclasses as _dc
+
+        from ..backend.admm import BackendADMM, dct_projection_plan
+        from ..ops.fused_admm import admm_cheby_halo_rows
+        from ..ops.fused_rof import match_rof_structure, shard_band_count
+
+        if opts.projection not in ("auto", "cheby"):
+            raise ProstError(
+                "ShardedFusedADMM: requires projection='auto' or 'cheby' "
+                "(CGLS needs global reductions every CG step; use the "
+                "generic BackendADMM under jit sharding for that)."
+            )
+        self._backend = BackendADMM(
+            problem, _dc.replace(opts, projection="cheby"), solver_opts)
+        self.problem = problem
+        self.opts = self._backend.opts
+        self.solver_opts = solver_opts
+        self.run_plan = dct_projection_plan(problem)
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.interpret = interpret
+        self.rof = match_rof_structure(problem)
+        if self.rof is None:
+            raise ProstError(
+                "ShardedFusedADMM: problem does not match the fused ROF/TV "
+                "structure."
+            )
+        self.n_shards = mesh.shape[axis_name]
+        nx, ny = self.rof["nx"], self.rof["ny"]
+        self.halo = admm_cheby_halo_rows(self.opts.cheby_degree)
+        if nx % self.n_shards:
+            raise ProstError(
+                f"ShardedFusedADMM: nx={nx} not divisible by "
+                f"{self.n_shards} shards."
+            )
+        self.shard_rows = nx // self.n_shards
+        if self.shard_rows % 8 or self.shard_rows < self.halo:
+            raise ProstError(
+                f"ShardedFusedADMM: shard height {self.shard_rows} must be "
+                f"an 8-multiple >= the Chebyshev halo {self.halo}."
+            )
+        nb = shard_band_count(self.shard_rows, ny,
+                              self.opts.residual_iter, n_planes=24,
+                              halo_rows=self.halo)
+        if nb is None:
+            raise ProstError(
+                "ShardedFusedADMM: shard rows admit no 8-aligned band "
+                "tiling under the VMEM budget; change the shard count."
+            )
+        self.band_nb = nb
+
+    def _shard(self, state):
+        vec = NamedSharding(self.mesh, P(self.axis_name))
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, vec if leaf.ndim else rep),
+            state,
+        )
+
+    def initial_state(self):
+        return self._shard(self._backend.initial_state())
+
+    def current_solution(self, state):
+        return self._backend.current_solution(state)
+
+    def run(self, state, until_iter: int):
+        sopts = self.solver_opts
+        tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
+                sopts.tol_abs_primal, sopts.tol_abs_dual)
+        r = self.rof
+        return _sharded_admm_run(
+            self.problem, self._backend.prox_g, self._backend.prox_f,
+            self.opts, self.run_plan, r["nx"], r["ny"], r["lmb"],
+            r["dataterm"], self.mesh, self.axis_name, self.halo,
+            self.band_nb, self.interpret,
+            tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
+            state, jnp.asarray(until_iter, jnp.int32),
+        )
+
+
+def _admm_halo_iter(xh, xp, xd, zh, zp, zd, warm, f_ext, w_ext, rho, lmb,
+                    radius, *, axis, n_shards, halo, nx, band_nb, degree,
+                    alpha, dataterm, interpret, with_norms):
+    """One sharded Chebyshev-ADMM outer iteration (inside shard_map):
+    exchange state halos, run the banded kernel on the extended block
+    with shard-global offsets, return owned rows (+ psum'd norms)."""
+    from ..ops.fused_admm import admm_banded_iter
+
+    rows = xh.shape[0]
+    row_offset = lax.axis_index(axis) * rows - halo
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    outs = admm_banded_iter(
+        ext(xh), ext(xp), ext(xd), ext(zh), ext(zp), ext(zd), ext(warm),
+        f_ext, w_ext, rho, lmb, radius, band_nb, degree, alpha,
+        dataterm=dataterm, interpret=interpret, with_norms=with_norms,
+        own_lo=halo, out_rows=rows, nx_global=nx,
+        row_offset0=row_offset.astype(jnp.int32))
+    norms2 = lax.psum(outs[7], axis) if with_norms else outs[7]
+    return outs[:7] + (norms2,)
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
+         donate_argnums=(18,))
+def _sharded_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
+                      dataterm, mesh, axis, halo, band_nb, interpret,
+                      tols, f_plane, w_plane, radius, state, until):
+    """Phase structure identical to fused_admm._fused_admm_banded_run,
+    with each banded iteration under shard_map (per-iteration halo
+    exchange; constant f/w halo-extended once outside the loop)."""
+    import dataclasses as _dc
+
+    from ..backend.admm import ADMMState, admm_residual_adapt, admm_step
+
+    ri = max(int(opts.residual_iter), 1)
+    degree = int(opts.cheby_degree)
+    n_shards = mesh.shape[axis]
+
+    pspec = P(axis, None)
+    zspec = P(None, axis, None)
+    espec = P(axis, None)  # pre-extended f/w: rows axis still sharded
+
+    # constant data planes: exchange their halos ONCE
+    ext_const = jax.shard_map(
+        lambda a: _halo_extend(a, axis=axis, n_shards=n_shards, halo=halo),
+        mesh=mesh, in_specs=(pspec,), out_specs=espec, check_vma=False)
+    f_ext = ext_const(f_plane)
+    w_ext = ext_const(w_plane) if dataterm == "wsquare" else f_ext
+
+    def make_chunk(with_norms):
+        body = partial(
+            _admm_halo_iter, axis=axis, n_shards=n_shards, halo=halo,
+            nx=nx, band_nb=band_nb, degree=degree, alpha=opts.alpha,
+            dataterm=dataterm, interpret=interpret, with_norms=with_norms)
+        return jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(pspec, pspec, pspec, zspec, zspec, zspec, pspec,
+                      espec, espec, P(), P(), P()),
+            out_specs=(pspec, pspec, pspec, zspec, zspec, zspec, pspec,
+                       P()),
+            check_vma=False,
+        )
+
+    chunk_plain = make_chunk(False)
+    chunk_norms = make_chunk(True)
+
+    lmb_t = jnp.asarray(lmb, jnp.float32)
+
+    def sharded_iter(s: ADMMState, with_norms: bool):
+        call = chunk_norms if with_norms else chunk_plain
+        outs = call(
+            s.x_half.reshape(nx, ny), s.x_proj.reshape(nx, ny),
+            s.x_dual.reshape(nx, ny), s.z_half.reshape(2, nx, ny),
+            s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
+            s.cg_warm.reshape(nx, ny), f_ext, w_ext,
+            s.rho, lmb_t, radius)
+        xh, xp, xd, zh, zp, zd, warm, norms2 = outs
+        s = _dc.replace(
+            s,
+            x_half=xh.reshape(-1), x_proj=xp.reshape(-1),
+            x_dual=xd.reshape(-1),
+            z_half=zh.reshape(-1), z_proj=zp.reshape(-1),
+            z_dual=zd.reshape(-1), cg_warm=warm.reshape(-1),
+            iteration=s.iteration + 1,
+        )
+        return s, norms2
+
+    def generic(s: ADMMState) -> ADMMState:
+        return admm_step(problem, prox_g, prox_f, opts, tols, s,
+                         proj_plan=plan)
+
+    def fused_chunk(s: ADMMState) -> ADMMState:
+        def body(_, q):
+            return sharded_iter(q, False)[0]
+
+        s = lax.fori_loop(0, ri - 1, body, s)
+        s, norms2 = sharded_iter(s, True)
+        norms = jnp.sqrt(norms2)
+        return admm_residual_adapt(
+            problem, opts, tols, s, norms[0], norms[1], norms[2], norms[3])
+
+    def cond_a(s):
+        return (s.iteration % ri != 0) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)

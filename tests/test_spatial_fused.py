@@ -280,3 +280,44 @@ def test_sharded_banded_deblur_matches_generic():
     np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
     np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_sharded_fused_admm_matches_single_device():
+    """ShardedFusedADMM (per-iteration halo exchange + banded Chebyshev
+    kernel per shard) vs the single-device fused Chebyshev ADMM."""
+    from prost_tpu.backend.admm import ADMMOptions
+    from prost_tpu.ops.fused_admm import FusedROFADMM
+    from prost_tpu.parallel import ShardedFusedADMM
+
+    nx, ny = 128, 32
+    rng = np.random.RandomState(17)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    aopts = ADMMOptions(residual_iter=10, projection="cheby")
+
+    ref = FusedROFADMM(prob, aopts, _opts(), interpret=True)
+    assert ref.mode == "cheby"
+    rs = ref.run(ref.initial_state(), 40)
+
+    sh = ShardedFusedADMM(prob, aopts, _opts(), _mesh(4), interpret=True)
+    ss = sh.run(sh.initial_state(), 40)
+
+    assert int(ss.iteration) == int(rs.iteration) == 40
+    np.testing.assert_allclose(np.asarray(ss.x_half),
+                               np.asarray(rs.x_half), atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ss.z_half),
+                               np.asarray(rs.z_half), atol=2e-6)
+    np.testing.assert_allclose(float(ss.rho), float(rs.rho), rtol=1e-6)
+    np.testing.assert_allclose(float(ss.primal_residual),
+                               float(rs.primal_residual), rtol=1e-4)
+
+
+def test_sharded_fused_admm_rejects_cgls():
+    from prost_tpu.backend.admm import ADMMOptions
+    from prost_tpu.parallel import ShardedFusedADMM
+
+    f = np.random.RandomState(1).rand(64 * 32).astype(np.float32)
+    prob = rof_problem(64, 32, f, 8.0)
+    with pytest.raises(ProstError):
+        ShardedFusedADMM(prob, ADMMOptions(projection="cgls"), _opts(),
+                         _mesh(2), interpret=True)
