@@ -321,3 +321,41 @@ def test_sharded_fused_admm_rejects_cgls():
     with pytest.raises(ProstError):
         ShardedFusedADMM(prob, ADMMOptions(projection="cgls"), _opts(),
                          _mesh(2), interpret=True)
+
+
+def test_sharded_admm_comm_volume_per_iteration():
+    """The sharded Chebyshev-ADMM iteration must move exactly the
+    designed halo bytes: 2 directions x 10 state planes (xh, xp, xd,
+    zh(2), zp(2), zd(2), warm) x halo rows — f/w are pre-extended once
+    outside the loop, and the Chebyshev projection adds NO collectives
+    (that is the point of replacing CGLS)."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from functools import partial as _partial
+
+    from prost_tpu.parallel.spatial_fused import _admm_halo_iter
+
+    nx, ny, n_shards = 64, 32, 4
+    halo, degree = 8, 2  # ceil8(2*2+4)
+    mesh = _mesh(n_shards)
+    body = _partial(_admm_halo_iter, axis="sp", n_shards=n_shards,
+                    halo=halo, nx=nx, band_nb=1, degree=degree, alpha=1.7,
+                    dataterm="square", interpret=True, with_norms=False)
+    pspec, zspec, espec = P("sp", None), P(None, "sp", None), P("sp", None)
+    chunk = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pspec, pspec, pspec, zspec, zspec, zspec, pspec,
+                  espec, espec, P(), P(), P()),
+        out_specs=(pspec, pspec, pspec, zspec, zspec, zspec, pspec, P()),
+        check_vma=False,
+    ))
+    x = jnp.zeros((nx, ny), jnp.float32)
+    z = jnp.zeros((2, nx, ny), jnp.float32)
+    # pre-extended f: per-shard rows + 2*halo -> global rows nx + 2*halo*S
+    fe = jnp.zeros((nx + 2 * halo * n_shards, ny), jnp.float32)
+    s = jnp.zeros((), jnp.float32)
+    hlo = chunk.lower(x, x, x, z, z, z, x, fe, fe, s, s, s).compile().as_text()
+    measured = _collective_permute_bytes(hlo)
+    expected = 2 * 10 * halo * ny * 4
+    assert measured == expected, (measured, expected)
