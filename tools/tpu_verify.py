@@ -169,12 +169,16 @@ def verify_deblur():
              enumerate(zip(ref[:6], ban[:6])))
     ok = _check("norms", ref[6], ban[6], tol=1e-5) and ok
     # nb=4 exercises the MIDDLE-band DMA branch (distinct offset
-    # arithmetic from the clamped edge bands) on real hardware
+    # arithmetic from the clamped edge bands) on real hardware; at ri=10
+    # the 7x7-reach halo (136 rows) exceeds 128-row bands, so this case
+    # runs a shorter chunk (ri=4 -> halo 64)
     assert deblur_banded_ok(nx2, 4)
-    ban4 = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args, 4)
+    args4 = (0.9, 1.1, 1.0, 25.0, 0.5, 4, nx, ny, taps, 0.5, 0.2)
+    ref4 = deblur_fused_chunk(x, yv, q, fb, sv, *args4)
+    ban4 = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args4, 4)
     ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
-             enumerate(zip(ref[:6], ban4[:6]))) and ok
-    return ok and _check("nb4 norms", ref[6], ban4[6], tol=1e-5)
+             enumerate(zip(ref4[:6], ban4[:6]))) and ok
+    return ok and _check("nb4 norms", ref4[6], ban4[6], tol=1e-5)
 
 
 def verify_admm():
