@@ -31,19 +31,27 @@ def timeit(fn, *args, short=30, long_=230):
         jax.block_until_ready(o)
         return time.perf_counter() - t0
 
-    best = float("inf")
+    # median of SANE estimates only: a contention spike inside the short
+    # run makes (tl - ts) artificially small, and min-positive-of-N then
+    # cherry-picks exactly the corrupted pair (measured: a 30x-too-fast
+    # "33 us/chunk" at 2048^2 under heavy tunnel load).  Require the
+    # delta to carry most of the long run (bench.py's 0.2 guard) and
+    # report the median.
+    import numpy as _np
+
+    ests = []
     for _ in range(4):
         ts = run(short)
         tl = run(long_)
-        est = (tl - ts) / (long_ - short)
-        if est > 0:
-            best = min(best, est)
-    if best == float("inf"):
+        delta = tl - ts
+        if delta >= 0.2 * tl:
+            ests.append(delta / (long_ - short))
+    if not ests:
         raise RuntimeError(
-            "measurement failed: all two-point deltas non-positive "
-            "(tunnel contention) — rerun on a quieter chip"
+            "measurement failed: every two-point delta was "
+            "contention-corrupted — rerun on a quieter chip"
         )
-    return best
+    return float(_np.median(ests))
 
 
 def main():
@@ -53,25 +61,34 @@ def main():
     from prost_tpu.ops.fused_admm import admm_banded_iter
     from prost_tpu.ops.fused_rof import rof_fused_chunk_banded
 
+    from prost_tpu.ops.fused_rof import band_count
+
     ri = 10
     rng = np.random.RandomState(0)
-    for nx, nb in ((2048, 8), (4096, 16)):
+    # double-buffered scratch is ~27 live planes vs 20 single-buffer:
+    # pick each variant's band count at its own VMEM footprint
+    cases = ((2048, band_count(2048, 2048, ri),
+              band_count(2048, 2048, ri, n_planes=27)),
+             (4096, band_count(4096, 4096, ri),
+              band_count(4096, 4096, ri, n_planes=27)))
+    for nx, nb, nb_db in cases:
         ny = nx
         x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
         q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
         f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
         w = jnp.ones_like(x)
-        args = (0.9, 1.1, 1.0, 16.0, 0.5, ri, nb)
         short, long_ = (30, 230) if nx == 2048 else (10, 60)
 
-        sb = jax.jit(lambda *a: rof_fused_chunk_banded(*a))
-        t1 = timeit(sb, x, q, f, w, *args, short=short, long_=long_)
+        sb = jax.jit(lambda x_, q_, f_, w_, _nb=nb: rof_fused_chunk_banded(
+            x_, q_, f_, w_, 0.9, 1.1, 1.0, 16.0, 0.5, ri, _nb))
+        t1 = timeit(sb, x, q, f, w, short=short, long_=long_)
         print(f"ROF {nx}^2 nb={nb} single-buffer: {1e6*t1:.0f} us/chunk",
               flush=True)
-        db = jax.jit(
-            lambda *a: rof_fused_chunk_banded(*a, double_buffer=True))
-        t2 = timeit(db, x, q, f, w, *args, short=short, long_=long_)
-        print(f"ROF {nx}^2 nb={nb} double-buffer: {1e6*t2:.0f} us/chunk "
+        db = jax.jit(lambda x_, q_, f_, w_, _nb=nb_db: rof_fused_chunk_banded(
+            x_, q_, f_, w_, 0.9, 1.1, 1.0, 16.0, 0.5, ri, _nb,
+            double_buffer=True))
+        t2 = timeit(db, x, q, f, w, short=short, long_=long_)
+        print(f"ROF {nx}^2 nb={nb_db} double-buffer: {1e6*t2:.0f} us/chunk "
               f"({t2/t1:.3f}x of single)", flush=True)
 
     # whole-plane ADMM chunk: CGLS (reductions + masked loop) vs

@@ -28,21 +28,27 @@ def timeit(fn, *args, short=20, long_=220):
         jax.block_until_ready(o)
         return time.perf_counter() - t0
 
-    # contention on the remote tunnel can make a two-point delta negative;
-    # keep the smallest POSITIVE estimate over several attempts
-    best = float("inf")
+    # median of SANE estimates only: a contention spike inside the short
+    # run makes (tl - ts) artificially small, and min-positive-of-N then
+    # cherry-picks exactly the corrupted pair (measured: a 30x-too-fast
+    # "33 us/chunk" at 2048^2 under heavy tunnel load).  Require the
+    # delta to carry most of the long run (bench.py's 0.2 guard) and
+    # report the median.
+    import numpy as _np
+
+    ests = []
     for _ in range(4):
         ts = run(short)
         tl = run(long_)
-        est = (tl - ts) / (long_ - short)
-        if est > 0:
-            best = min(best, est)
-    if best == float("inf"):
+        delta = tl - ts
+        if delta >= 0.2 * tl:
+            ests.append(delta / (long_ - short))
+    if not ests:
         raise RuntimeError(
-            "measurement failed: all two-point deltas were non-positive "
-            "(tunnel contention) — rerun on a quieter chip"
+            "measurement failed: every two-point delta was "
+            "contention-corrupted — rerun on a quieter chip"
         )
-    return best
+    return float(_np.median(ests))
 
 
 def main():
