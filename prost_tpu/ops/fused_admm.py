@@ -531,13 +531,18 @@ class FusedROFADMM(BackendADMM):
     iterations, falling back to the generic path when the structure does
     not match.  Inner-projection routing by ``opts.projection``:
 
-    * "auto" (default): whole-plane CGLS chunk kernel when the problem
-      fits VMEM (reference algebra, backend_admm.cu:408-441), banded
-      Chebyshev per-iteration kernel when it does not — fused ADMM has
-      no size cliff.
-    * "cgls": reference CGLS only; larger-than-VMEM problems run generic.
-    * "cheby": the fixed-coefficient Chebyshev projection at any size
-      (whole-plane chunk kernel or banded by VMEM fit).
+    * "auto" (default): Chebyshev projection at any size — whole-plane
+      chunk kernel under VMEM, banded per-iteration kernel beyond; no
+      size cliff.  MEASURED 2.5x faster than the CGLS chunk at 512^2
+      (235 vs 586 us per 10-iteration chunk on the v5e): the
+      fixed-coefficient solve has no in-kernel reductions or masked
+      predication, and both solvers contract at the same 0.172/step rate
+      on this kappa<=2 system, so the trajectories agree to f32
+      (tests/test_fused_admm.py).
+    * "cgls": the reference's exact inner algebra
+      (backend_admm.cu:408-441) whole-plane; larger-than-VMEM problems
+      run generic.
+    * "cheby": explicit Chebyshev (same as auto resolves to).
     * "dct": exact-projection generic path (admm.py), never fused.
     """
 
@@ -553,7 +558,7 @@ class FusedROFADMM(BackendADMM):
             whole = fits_vmem(self.rof["nx"], self.rof["ny"])
             proj = opts.projection
             if whole:
-                self.mode = "cheby" if proj == "cheby" else "cgls"
+                self.mode = "cgls" if proj == "cgls" else "cheby"
             elif proj in ("auto", "cheby"):
                 nb = admm_band_count(self.rof["nx"], self.rof["ny"],
                                      opts.cheby_degree)
