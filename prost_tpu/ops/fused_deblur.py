@@ -58,6 +58,11 @@ from ..prox.standalone import ProxZero
 
 _VMEM_LIMIT = 96 * 1024 * 1024
 _MAX_TAPS = 96  # statically unrolled shifted-adds per conv apply
+# pairwise-tree tap summation (False = the round-2 serialized left fold;
+# kept as a switch so tools/deblur_probe.py can A/B the association on
+# hardware — serial-chain measurement: tree 226 us vs fold 241 us per
+# 512^2 ri=10 chunk, i.e. the kernel is issue-bound, not latency-bound)
+_TAP_SUM_TREE = True
 
 
 def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
@@ -97,9 +102,15 @@ def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
         # pairwise tree instead of a left fold: the rolls are mutually
         # independent, but f32 adds cannot be compiler-reassociated, so a
         # T-term fold serializes T dependent adds (each behind 2 dependent
-        # rolls) — the measured latency bound of this roll-dominated
-        # kernel (12% VPU-flops / 16% issue slots, PERFORMANCE.md).  The
-        # tree cuts the critical path to ceil(log2 T).
+        # rolls).  Measured effect (round 3, serial-chain method): 6%
+        # (226 vs 241 us per 512^2 chunk) — the kernel is issue-bound on
+        # the 2T rolls, so cutting the add critical path to ceil(log2 T)
+        # helps only at the margin; kept because it is never worse.
+        if not _TAP_SUM_TREE:
+            acc = terms[0]
+            for t in terms[1:]:
+                acc = acc + t
+            return acc
         while len(terms) > 1:
             nxt = [a + b for a, b in zip(terms[::2], terms[1::2])]
             if len(terms) % 2:
@@ -762,10 +773,17 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(s: PDHGState) -> PDHGState:
-        x = _embed(s.x.reshape(nx, ny), nx2, ny2)
-        yv = s.y[:m2].reshape(nx2, ny2)
-        q = _embed(s.y[m2:].reshape(2, nx, ny), nx2, ny2)
+    def pack(xf, yf):
+        return (_embed(xf.reshape(nx, ny), nx2, ny2),
+                yf[:m2].reshape(nx2, ny2),
+                _embed(yf[m2:].reshape(2, nx, ny), nx2, ny2))
+
+    def fused_chunk(carry):
+        # the chunk loop carries EMBEDDED planes (packed once, below) —
+        # per-chunk pad/concat glue measured ~40% of the chunk time
+        # (round 3, tools/deblur_e2e_probe.py); the kernel provably
+        # preserves the padding at zero, so carrying planes is exact
+        s, (x, yv, q, _xp, _yvp, _qp) = carry
         if n_bands == 1:
             x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk(
                 x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
@@ -781,24 +799,13 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
                 ri, nx, ny, taps, sig_q, tau_t, n_bands,
                 interpret=interpret)
         norms = jnp.sqrt(norms2)
-
-        def unpack(xe, yve, qe):
-            return (
-                xe[:nx, :ny].reshape(-1),
-                jnp.concatenate([yve.reshape(-1),
-                                 qe[:, :nx, :ny].reshape(-1)]),
-            )
-
-        x_new, y_new = unpack(x2, yv2, q2)
-        xp_new, yp_new = unpack(xp, yvp, qp)
-        s = dataclasses.replace(
-            s, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
         s = residual_and_adapt(
             problem, opts, tols, s,
             norms[0], norms[1], norms[2], norms[3],
             s.iteration + ri - 1,
         )
-        return dataclasses.replace(s, iteration=s.iteration + ri)
+        s = dataclasses.replace(s, iteration=s.iteration + ri)
+        return (s, (x2, yv2, q2, xp, yvp, qp))
 
     align = 1 % ri
 
@@ -807,10 +814,25 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+
+    def unpack(xe, yve, qe):
+        return (
+            xe[:nx, :ny].reshape(-1),
+            jnp.concatenate([yve.reshape(-1),
+                             qe[:, :nx, :ny].reshape(-1)]),
+        )
+
+    x_new, y_new = unpack(*planes[:3])
+    xp_new, yp_new = unpack(*planes[3:])
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,

@@ -580,29 +580,29 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(s: PDHGState) -> PDHGState:
-        u = s.x.reshape(L, nx, ny)
-        q = s.y[:2 * nL].reshape(2 * L, nx, ny)
-        sm = s.y[2 * nL:].reshape(nx, ny)
+    def pack(xf, yf):
+        return (xf.reshape(L, nx, ny),
+                yf[:2 * nL].reshape(2 * L, nx, ny),
+                yf[2 * nL:].reshape(nx, ny))
+
+    def fused_chunk(carry):
+        # the chunk loop carries PLANES (packed once, below) — the
+        # per-chunk y slice/concat glue costs real HBM copies (round 3,
+        # cf. fused_deblur's measured ~40%)
+        s, (u, q, sm, _up, _qp, _sp) = carry
         chunk = (ml_fused_chunk if n_bands == 1
                  else partial(ml_fused_chunk_banded, n_bands=n_bands))
         u2, q2, s2, up, qp, sp, norms2 = chunk(
             u, q, sm, f_planes, s.tau, s.sigma, s.theta, radius, d_s,
             ri, interpret=interpret)
         norms = jnp.sqrt(norms2)
-        s = dataclasses.replace(
-            s,
-            x=u2.reshape(-1),
-            y=jnp.concatenate([q2.reshape(-1), s2.reshape(-1)]),
-            x_prev=up.reshape(-1),
-            y_prev=jnp.concatenate([qp.reshape(-1), sp.reshape(-1)]),
-        )
         s = residual_and_adapt(
             problem, opts, tols, s,
             norms[0], norms[1], norms[2], norms[3],
             s.iteration + ri - 1,
         )
-        return dataclasses.replace(s, iteration=s.iteration + ri)
+        s = dataclasses.replace(s, iteration=s.iteration + ri)
+        return (s, (u2, q2, s2, up, qp, sp))
 
     align = 1 % ri
 
@@ -611,10 +611,22 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+
+    def unpack(ue, qe, se):
+        return (ue.reshape(-1),
+                jnp.concatenate([qe.reshape(-1), se.reshape(-1)]))
+
+    x_new, y_new = unpack(*planes[:3])
+    xp_new, yp_new = unpack(*planes[3:])
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,

@@ -593,12 +593,19 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(st: PDHGState) -> PDHGState:
-        u = st.x[:nL].reshape(L, nx, ny)
-        v = st.x[nL:].reshape(2 * k, nx, ny)
-        q = st.y[: 2 * nL].reshape(2 * L, nx, ny)
-        p = st.y[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny)
-        sm = st.y[2 * nL + nk2:].reshape(nx, ny)
+    def pack(xf, yf):
+        return (xf[:nL].reshape(L, nx, ny),
+                xf[nL:].reshape(2 * k, nx, ny),
+                yf[: 2 * nL].reshape(2 * L, nx, ny),
+                yf[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny),
+                yf[2 * nL + nk2:].reshape(nx, ny))
+
+    def fused_chunk(carry):
+        # the chunk loop carries PLANES (packed once, below) — the
+        # per-chunk slice/concat glue costs real HBM copies (round 3,
+        # cf. fused_deblur's measured ~40%)
+        st, cur, _prev = carry
+        u, v, q, p, sm = cur
         if n_bands == 1:
             new, prev, norms2 = tight_fused_chunk(
                 u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
@@ -609,25 +616,13 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
                 radius, d_s, ri, taps, consts, n_bands,
                 interpret=interpret)
         norms = jnp.sqrt(norms2)
-
-        def pack(t):
-            uu, vv, qq, pp, ss = t
-            return (
-                jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
-                jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
-                                 ss.reshape(-1)]),
-            )
-
-        x_new, y_new = pack(new)
-        xp_new, yp_new = pack(prev)
-        st = dataclasses.replace(
-            st, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
         st = residual_and_adapt(
             problem, opts, tols, st,
             norms[0], norms[1], norms[2], norms[3],
             st.iteration + ri - 1,
         )
-        return dataclasses.replace(st, iteration=st.iteration + ri)
+        st = dataclasses.replace(st, iteration=st.iteration + ri)
+        return (st, tuple(new), tuple(prev))
 
     align = 1 % ri
 
@@ -636,10 +631,27 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, cur, prev = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y),
+         pack(state.x_prev, state.y_prev)))
+
+    def unpack(t):
+        uu, vv, qq, pp, ss = t
+        return (
+            jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
+            jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
+                             ss.reshape(-1)]),
+        )
+
+    x_new, y_new = unpack(cur)
+    xp_new, yp_new = unpack(prev)
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,
