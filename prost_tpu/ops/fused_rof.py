@@ -1021,6 +1021,16 @@ class FusedROFPDHG(BackendPDHG):
                 self.rof = None  # no efficient tiling -> generic path
             else:
                 self.rof["n_bands"] = nb
+                # double-buffered window DMA (overlaps band i+1's fetch
+                # with band i's compute) needs ~27 live planes vs 20 —
+                # use it only when that footprint does NOT force a wider
+                # tiling (measured: 2048^2 nb=8 single 1178 us vs double
+                # 1077 us/chunk; 4096^2 single nb=32 5476 us beats
+                # double nb=64 5974 us — halo recompute outweighs the
+                # DMA overlap)
+                self.rof["double_buffer"] = nb > 1 and nb == band_count(
+                    self.rof["nx"], self.rof["ny"], opts.residual_iter,
+                    n_planes=27)
         self.ml = self.deblur = None
         if usable and self.rof is None:
             from .fused_multilabel import (match_multilabel_structure,
@@ -1094,7 +1104,8 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_rof_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     r["nx"], r["ny"], r["lmb"], r["dataterm"],
-                    r["n_bands"], self.interpret,
+                    r["n_bands"], r.get("double_buffer", False),
+                    self.interpret,
                     tols, r["f"], r["w"],
                     jnp.asarray(r["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1160,10 +1171,11 @@ class FusedROFPDHG(BackendPDHG):
         return super().run(state, until_iter)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(14,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(15,))
 def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
-                   n_bands, interpret, tols, f_plane, w_plane, radius, state,
-                   until):
+                   n_bands, double_buffer, interpret, tols, f_plane, w_plane,
+                   radius, state, until):
     """Three phases around the single-kernel fused chunks (the in-kernel
     loop bound must be static for Mosaic):
 
@@ -1195,7 +1207,8 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
         else:
             x2, q2, xp, qp, norms2 = rof_fused_chunk_banded(
                 x, q, f_plane, w_plane, s.tau, s.sigma, s.theta, lmb,
-                radius, ri, n_bands, dataterm=dataterm, interpret=interpret)
+                radius, ri, n_bands, dataterm=dataterm, interpret=interpret,
+                double_buffer=double_buffer)
         norms = jnp.sqrt(norms2)
         s = dataclasses.replace(
             s,

@@ -288,10 +288,15 @@ def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(s: PDHGState) -> PDHGState:
-        u = s.x.reshape(L, nx, ny)
-        q = s.y[:2 * nL].reshape(2 * L, nx, ny)
-        sm = s.y[2 * nL:].reshape(nx, ny)
+    def pack(xf, yf):
+        return (xf.reshape(L, nx, ny),
+                yf[:2 * nL].reshape(2 * L, nx, ny),
+                yf[2 * nL:].reshape(nx, ny))
+
+    def fused_chunk(carry):
+        # planes carried across chunks (packed once, below) — cf.
+        # fused_multilabel._fused_ml_run
+        s, (u, q, sm, _up, _qp, _sp) = carry
         scal5 = jnp.stack([
             s.tau, s.sigma, s.theta,
             radius.astype(s.tau.dtype), d_s.astype(s.tau.dtype),
@@ -299,19 +304,13 @@ def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
         u2, q2, s2, up, qp, sp, norms2 = sharded_chunk(
             u, q, sm, f_planes, scal5)
         norms = jnp.sqrt(norms2)
-        s = _dc.replace(
-            s,
-            x=u2.reshape(-1),
-            y=jnp.concatenate([q2.reshape(-1), s2.reshape(-1)]),
-            x_prev=up.reshape(-1),
-            y_prev=jnp.concatenate([qp.reshape(-1), sp.reshape(-1)]),
-        )
         s = residual_and_adapt(
             problem, opts, tols, s,
             norms[0], norms[1], norms[2], norms[3],
             s.iteration + ri - 1,
         )
-        return _dc.replace(s, iteration=s.iteration + ri)
+        s = _dc.replace(s, iteration=s.iteration + ri)
+        return (s, (u2, q2, s2, up, qp, sp))
 
     align = 1 % ri
 
@@ -320,10 +319,22 @@ def _sharded_fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+
+    def unpack(ue, qe, se):
+        return (ue.reshape(-1),
+                jnp.concatenate([qe.reshape(-1), se.reshape(-1)]))
+
+    x_new, y_new = unpack(*planes[:3])
+    xp_new, yp_new = unpack(*planes[3:])
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,
@@ -489,37 +500,31 @@ def _sharded_fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(st: PDHGState) -> PDHGState:
-        u = st.x[:nL].reshape(L, nx, ny)
-        v = st.x[nL:].reshape(2 * k, nx, ny)
-        q = st.y[: 2 * nL].reshape(2 * L, nx, ny)
-        p = st.y[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny)
-        sm = st.y[2 * nL + nk2:].reshape(nx, ny)
+    def pack(xf, yf):
+        return (xf[:nL].reshape(L, nx, ny),
+                xf[nL:].reshape(2 * k, nx, ny),
+                yf[: 2 * nL].reshape(2 * L, nx, ny),
+                yf[2 * nL: 2 * nL + nk2].reshape(2 * k, nx, ny),
+                yf[2 * nL + nk2:].reshape(nx, ny))
+
+    def fused_chunk(carry):
+        # planes carried across chunks (packed once, below) — cf.
+        # fused_tight._fused_tight_run
+        st, cur, _prev = carry
+        u, v, q, p, sm = cur
         scal5 = jnp.stack([
             st.tau, st.sigma, st.theta,
             radius.astype(st.tau.dtype), d_s.astype(st.tau.dtype),
         ])
         new, prev, norms2 = sharded_chunk(u, v, q, p, sm, f_planes, scal5)
         norms = jnp.sqrt(norms2)
-
-        def pack(t):
-            uu, vv, qq, pp, ss = t
-            return (
-                jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
-                jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
-                                 ss.reshape(-1)]),
-            )
-
-        x_new, y_new = pack(new)
-        xp_new, yp_new = pack(prev)
-        st = dataclasses.replace(
-            st, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
         st = residual_and_adapt(
             problem, opts, tols, st,
             norms[0], norms[1], norms[2], norms[3],
             st.iteration + ri - 1,
         )
-        return dataclasses.replace(st, iteration=st.iteration + ri)
+        st = dataclasses.replace(st, iteration=st.iteration + ri)
+        return (st, tuple(new), tuple(prev))
 
     align = 1 % ri
 
@@ -528,10 +533,27 @@ def _sharded_fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, cur, prev = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y),
+         pack(state.x_prev, state.y_prev)))
+
+    def unpack(t):
+        uu, vv, qq, pp, ss = t
+        return (
+            jnp.concatenate([uu.reshape(-1), vv.reshape(-1)]),
+            jnp.concatenate([qq.reshape(-1), pp.reshape(-1),
+                             ss.reshape(-1)]),
+        )
+
+    x_new, y_new = unpack(cur)
+    xp_new, yp_new = unpack(prev)
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,
@@ -698,10 +720,15 @@ def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
     def generic(s: PDHGState) -> PDHGState:
         return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
 
-    def fused_chunk(s: PDHGState) -> PDHGState:
-        x = _embed(s.x.reshape(nx, ny), nx2, ny2)
-        yv = s.y[:m2].reshape(nx2, ny2)
-        q = _embed(s.y[m2:].reshape(2, nx, ny), nx2, ny2)
+    def pack(xf, yf):
+        return (_embed(xf.reshape(nx, ny), nx2, ny2),
+                yf[:m2].reshape(nx2, ny2),
+                _embed(yf[m2:].reshape(2, nx, ny), nx2, ny2))
+
+    def fused_chunk(carry):
+        # embedded planes carried across chunks (packed once, below) —
+        # cf. fused_deblur._fused_deblur_run
+        s, (x, yv, q, _xp, _yvp, _qp) = carry
         scal5 = jnp.stack([
             s.tau, s.sigma, s.theta,
             jnp.asarray(lmb, s.tau.dtype), radius.astype(s.tau.dtype),
@@ -709,24 +736,13 @@ def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
         x2, yv2, q2, xp, yvp, qp, norms2 = sharded_chunk(
             x, yv, q, fb, sv, scal5)
         norms = jnp.sqrt(norms2)
-
-        def unpack(xe, yve, qe):
-            return (
-                xe[:nx, :ny].reshape(-1),
-                jnp.concatenate([yve.reshape(-1),
-                                 qe[:, :nx, :ny].reshape(-1)]),
-            )
-
-        x_new, y_new = unpack(x2, yv2, q2)
-        xp_new, yp_new = unpack(xp, yvp, qp)
-        s = dataclasses.replace(
-            s, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
         s = residual_and_adapt(
             problem, opts, tols, s,
             norms[0], norms[1], norms[2], norms[3],
             s.iteration + ri - 1,
         )
-        return dataclasses.replace(s, iteration=s.iteration + ri)
+        s = dataclasses.replace(s, iteration=s.iteration + ri)
+        return (s, (x2, yv2, q2, xp, yvp, qp))
 
     align = 1 % ri
 
@@ -735,10 +751,25 @@ def _sharded_fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    def cond_b(s):
+    def cond_b(carry):
+        s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+
+    def unpack(xe, yve, qe):
+        return (
+            xe[:nx, :ny].reshape(-1),
+            jnp.concatenate([yve.reshape(-1),
+                             qe[:, :nx, :ny].reshape(-1)]),
+        )
+
+    x_new, y_new = unpack(*planes[:3])
+    xp_new, yp_new = unpack(*planes[3:])
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
 
     state = dataclasses.replace(
         state,

@@ -1,58 +1,23 @@
 """Microbenchmark the ml banded chunk kernel in isolation on the TPU:
 times (a) the whole-plane ml kernel at 256x256x8, (b) the banded kernel
-at 512x512x8, and (c) the banded kernel at 256x256x8 with n_bands=2
-(same total work as (a) + halo overhead) — to separate intrinsic banded
-compute slowness from chunk-level effects.  Two-point timing per
-bench.py's method."""
+at 512x512x8 (nb=4 selected vs forced nb=2), and (c) the banded kernel
+at 256x256x8 with n_bands=2 (same total work as (a) + halo overhead) —
+to separate intrinsic banded compute slowness from chunk-level effects.
+
+Timing: tools/probe_timing.py serial-chain method (the earlier host-loop
+timeit under-reported device time on this platform)."""
 
 import os
 import sys
-import time
 
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
-
-def timeit(fn, *args, short=20, long_=220):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-
-    def run(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = fn(*args)
-        jax.block_until_ready(o)
-        return time.perf_counter() - t0
-
-    # median of SANE estimates only: a contention spike inside the short
-    # run makes (tl - ts) artificially small, and min-positive-of-N then
-    # cherry-picks exactly the corrupted pair (measured: a 30x-too-fast
-    # "33 us/chunk" at 2048^2 under heavy tunnel load).  Require the
-    # delta to carry most of the long run (bench.py's 0.2 guard) and
-    # report the median.
-    import numpy as _np
-
-    ests = []
-    for _ in range(4):
-        ts = run(short)
-        tl = run(long_)
-        delta = tl - ts
-        if delta >= 0.2 * tl:
-            ests.append(delta / (long_ - short))
-    if not ests:
-        raise RuntimeError(
-            "measurement failed: every two-point delta was "
-            "contention-corrupted — rerun on a quieter chip"
-        )
-    return float(_np.median(ests))
+from probe_timing import chain_loop, serial_chunk_time  # noqa: E402
 
 
 def main():
-    import jax
     import jax.numpy as jnp
 
     from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
@@ -70,21 +35,35 @@ def main():
 
     args = (0.9, 1.1, 1.0, 0.5, 1.0)
 
-    u, q, s, f = mk(8, 256, 256)
-    whole = jax.jit(lambda *a: ml_fused_chunk(*a, *args, ri))
-    t = timeit(whole, u, q, s, f)
-    print(f"whole 256x256x8: {1e6*t:.0f} us/chunk", flush=True)
+    def measure(name, fn, state, short=10, long_=110):
+        # the f planes ride the carry so they enter as jit arguments
+        def chunk(st):
+            u2, q2, s2, up, qp, sp, norms2 = fn(st[0], st[1], st[2], st[3])
+            return (u2, q2, s2, st[3]), norms2[0]
 
-    b2 = jax.jit(lambda *a: ml_fused_chunk_banded(*a, *args, ri, 2))
-    t2 = timeit(b2, u, q, s, f)
-    print(f"banded 256x256x8 nb=2: {1e6*t2:.0f} us/chunk "
-          f"({t2/t:.2f}x whole)", flush=True)
+        t = serial_chunk_time(chain_loop(chunk, state), short=short,
+                              long_=long_)
+        print(f"{name}: {1e6*t:.0f} us/chunk "
+              f"({ri/t/1e3:.1f}k it/s kernel-only)", flush=True)
+        return t
+
+    u, q, s, f = mk(8, 256, 256)
+    t = measure("whole 256x256x8",
+                lambda u_, q_, s_, f_: ml_fused_chunk(
+                    u_, q_, s_, f_, *args, ri), (u, q, s, f))
+    t2 = measure("banded 256x256x8 nb=2",
+                 lambda u_, q_, s_, f_: ml_fused_chunk_banded(
+                     u_, q_, s_, f_, *args, ri, 2), (u, q, s, f))
+    print(f"  -> nb=2 banding overhead at equal work: {t2/t:.2f}x",
+          flush=True)
 
     u, q, s, f = mk(8, 512, 512)
-    b4 = jax.jit(lambda *a: ml_fused_chunk_banded(*a, *args, ri, 4))
-    t4 = timeit(b4, u, q, s, f, short=30, long_=180)
-    print(f"banded 512x512x8 nb=4: {1e6*t4:.0f} us/chunk "
-          f"({t4/(4*t):.2f}x of 4x whole-256)", flush=True)
+    for nb in (4, 2):
+        t4 = measure(f"banded 512x512x8 nb={nb}",
+                     lambda u_, q_, s_, f_, _n=nb: ml_fused_chunk_banded(
+                         u_, q_, s_, f_, *args, ri, _n), (u, q, s, f),
+                     short=5, long_=55)
+        print(f"  -> {t4/(4*t):.2f}x of 4x whole-256", flush=True)
 
 
 if __name__ == "__main__":

@@ -33,7 +33,7 @@ def chain_loop(chunk, init):
     from jax import lax
 
     @jax.jit
-    def run(n):
+    def _run(n, st0):
         def body(c):
             i, st, acc = c
             st2, s = chunk(st)
@@ -41,10 +41,13 @@ def chain_loop(chunk, init):
 
         out = lax.while_loop(
             lambda c: c[0] < n, body,
-            (jnp.asarray(0, jnp.int32), init, jnp.asarray(0.0, jnp.float32)))
+            (jnp.asarray(0, jnp.int32), st0, jnp.asarray(0.0, jnp.float32)))
         return out[2]
 
-    return run
+    # the state enters as a jit ARGUMENT — closing over large planes bakes
+    # them into the serialized program as constants, which the remote
+    # compile service rejects (HTTP 413) at 2048^2+
+    return lambda n: _run(n, init)
 
 
 def serial_chunk_time(run, short=20, long_=220, repeats=4):
