@@ -444,12 +444,133 @@ def _admm_banded_kernel(scal_ref, off_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm,
     ])
 
 
+def _admm_banded_db_kernel(scal_ref, off_ref, xh_hbm, xp_hbm, xd_hbm,
+                           zh_hbm, zp_hbm, zd_hbm, warm_hbm, f_hbm, w_hbm,
+                           xho, xpo, xdo, zho, zpo, zdo, warmo, norms_ref,
+                           xhs2, xps2, xds2, zhs2, zps2, zds2, warms2, fs2,
+                           ws2, in_sem, out_sem, *,
+                           nx: int, ny: int, rows: int, halo: int,
+                           degree: int, alpha: float, dataterm: str,
+                           with_norms: bool, own_lo: int, n_bands: int):
+    """DOUBLE-BUFFERED banded Chebyshev-ADMM iteration: band i+1's window
+    fetch and band i-1's owned-row writeback overlap band i's compute
+    (the same cross-grid-step pipelining as fused_rof's
+    `_rof_banded_db_kernel`).  Unlike the PDHG banded kernels — whose
+    window DMAs amortize over a residual_iter chunk — this kernel
+    refetches every OUTER ITERATION, so hiding the window DMA attacks a
+    ~30% share of the iteration time rather than ~1/10th of it."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    p = lax.rem(i, 2)
+    ext = xhs2.shape[1]
+    nin = xh_hbm.shape[-2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+
+    def geom(j):
+        start8 = jnp.clip(o8 + j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (o8 + j * r8 - start8)
+
+    x_pairs = ((xh_hbm, xhs2), (xp_hbm, xps2), (xd_hbm, xds2),
+               (warm_hbm, warms2), (f_hbm, fs2))
+    z_pairs = ((zh_hbm, zhs2), (zp_hbm, zps2), (zd_hbm, zds2))
+
+    def in_copies(j, buf):
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        cs = [pltpu.make_async_copy(
+            h.at[pl.ds(start, ext)], s.at[buf], sem) for h, s in x_pairs]
+        cs += [pltpu.make_async_copy(
+            h.at[:, pl.ds(start, ext)], s.at[buf], sem)
+            for h, s in z_pairs]
+        if dataterm == "wsquare":
+            cs.append(pltpu.make_async_copy(
+                w_hbm.at[pl.ds(start, ext)], ws2.at[buf], sem))
+        return cs
+
+    def out_copies(j, buf):
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        cs = [pltpu.make_async_copy(
+            s.at[buf, pl.ds(own_w, rows)], h.at[pl.ds(lo, rows)], sem)
+            for s, h in ((xhs2, xho), (xps2, xpo), (xds2, xdo),
+                         (warms2, warmo))]
+        cs += [pltpu.make_async_copy(
+            s.at[buf, :, pl.ds(own_w, rows)], h.at[:, pl.ds(lo, rows)],
+            sem) for s, h in ((zhs2, zho), (zps2, zpo), (zds2, zdo))]
+        return cs
+
+    @pl.when(i == 0)
+    def _():
+        for c in in_copies(0, p):
+            c.start()
+
+    for c in in_copies(i, p):
+        c.wait()
+
+    # free the other buffer (band i-1's writeback), then prefetch i+1
+    @pl.when(i >= 1)
+    def _():
+        for c in out_copies(i - 1, 1 - p):
+            c.wait()
+
+    @pl.when(i + 1 < n_bands)
+    def _():
+        for c in in_copies(i + 1, 1 - p):
+            c.start()
+
+    start, own_w = geom(i)
+    shape = (ext, ny)
+    ops = _shift_ops(shape, pltpu.roll, row_offset=off_ref[0] + start,
+                     nx_global=nx)
+    scal0 = scal_ref[0]
+    project = partial(_cheby_project, degree=degree, ops=ops)
+    w = ws2[p] if dataterm == "wsquare" else None
+    zh0, zp0, zd0 = zhs2[p], zps2[p], zds2[p]
+    xh, xp, xd, zh, zp, zd, u = _admm_iter(
+        xhs2[p], xps2[p], xds2[p], (zh0[0], zh0[1]), (zp0[0], zp0[1]),
+        (zd0[0], zd0[1]), warms2[p], fs2[p], w, project, scal0,
+        scal_ref[1], scal_ref[2], alpha, ops, dataterm)
+
+    if with_norms:
+        lri = lax.broadcasted_iota(jnp.int32, shape, 0)
+        owned = (lri >= own_w) & (lri < own_w + rows)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+
+        norms = _admm_norms(xh, xp, xd, zh, zp, zd, scal0, ops, nsum)
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+    else:
+        for j in range(4):
+            norms_ref[j, i] = jnp.asarray(0.0, xh.dtype)
+
+    xhs2[p] = xh
+    xps2[p] = xp
+    xds2[p] = xd
+    zhs2[p, 0], zhs2[p, 1] = zh
+    zps2[p, 0], zps2[p, 1] = zp
+    zds2[p, 0], zds2[p, 1] = zd
+    warms2[p] = u
+    for c in out_copies(i, p):
+        c.start()
+
+    @pl.when(i == n_bands - 1)
+    def _():
+        for c in out_copies(i, p):
+            c.wait()
+
+
 def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
                      n_bands: int, degree: int, alpha: float,
                      dataterm: str = "square", interpret: bool = False,
                      with_norms: bool = True, own_lo: int = 0,
                      out_rows: int | None = None, nx_global=None,
-                     row_offset0=None):
+                     row_offset0=None, double_buffer: bool = False):
     """One banded Chebyshev-ADMM outer iteration (single kernel launch,
     grid over ``n_bands`` row bands).  Returns the 7 updated state arrays
     + the 4-vector of SQUARED residual norms of the new iterate (zeros
@@ -484,19 +605,33 @@ def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     out_shape = [oshape(a) for a in (xh, xp, xd, zh, zp, zd, warm)]
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), xh.dtype))
     dt = xh.dtype
-    pl1 = pltpu.VMEM((ext, ny), dt)
-    pl2 = pltpu.VMEM((2, ext, ny), dt)
+    if double_buffer:
+        pl1 = pltpu.VMEM((2, ext, ny), dt)
+        pl2 = pltpu.VMEM((2, 2, ext, ny), dt)
+        kernel = partial(_admm_banded_db_kernel, nx=int(nx_global), ny=ny,
+                         rows=rows, halo=halo, degree=int(degree),
+                         alpha=float(alpha), dataterm=dataterm,
+                         with_norms=with_norms, own_lo=int(own_lo),
+                         n_bands=n_bands)
+        scratch = [pl1, pl1, pl1, pl2, pl2, pl2, pl1, pl1, pl1,
+                   pltpu.SemaphoreType.DMA((2,)),
+                   pltpu.SemaphoreType.DMA((2,))]
+    else:
+        pl1 = pltpu.VMEM((ext, ny), dt)
+        pl2 = pltpu.VMEM((2, ext, ny), dt)
+        kernel = partial(_admm_banded_kernel, nx=int(nx_global), ny=ny,
+                         rows=rows, halo=halo, degree=int(degree),
+                         alpha=float(alpha), dataterm=dataterm,
+                         with_norms=with_norms, own_lo=int(own_lo))
+        scratch = [pl1, pl1, pl1, pl2, pl2, pl2, pl1, pl1, pl1,
+                   pltpu.SemaphoreType.DMA]
     outs = pl.pallas_call(
-        partial(_admm_banded_kernel, nx=int(nx_global), ny=ny, rows=rows,
-                halo=halo, degree=int(degree), alpha=float(alpha),
-                dataterm=dataterm, with_norms=with_norms,
-                own_lo=int(own_lo)),
+        kernel,
         grid=(n_bands,),
         out_shape=out_shape,
         in_specs=[smem, smem] + [hbm] * 9,
         out_specs=[hbm] * 7 + [smem],
-        scratch_shapes=[pl1, pl1, pl1, pl2, pl2, pl2, pl1, pl1, pl1,
-                        pltpu.SemaphoreType.DMA],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -534,11 +669,11 @@ class FusedROFADMM(BackendADMM):
     * "auto" (default): Chebyshev projection at any size — whole-plane
       chunk kernel under VMEM, banded per-iteration kernel beyond; no
       size cliff.  MEASURED 2.5x faster than the CGLS chunk at 512^2
-      (235 vs 586 us per 10-iteration chunk on the v5e): the
-      fixed-coefficient solve has no in-kernel reductions or masked
-      predication, and both solvers contract at the same 0.172/step rate
-      on this kappa<=2 system, so the trajectories agree to f32
-      (tests/test_fused_admm.py).
+      (218 vs 541 us per 10-iteration chunk on the v5e, serial-chain
+      method, tools/banded_db_probe.py): the fixed-coefficient solve has
+      no in-kernel reductions or masked predication, and both solvers
+      contract at the same 0.172/step rate on this kappa<=2 system, so
+      the trajectories agree to f32 (tests/test_fused_admm.py).
     * "cgls": the reference's exact inner algebra
       (backend_admm.cu:408-441) whole-plane; larger-than-VMEM problems
       run generic.

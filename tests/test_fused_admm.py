@@ -219,6 +219,18 @@ def test_banded_kernel_unit_vs_whole_chunk():
                                    err_msg=f"out[{i}]")
     np.testing.assert_allclose(np.asarray(ref[7]), np.asarray(ban[7]),
                                rtol=1e-5)
+    # the double-buffered variant (cross-grid-step DMA pipelining) must
+    # match the whole-plane iteration too, at several band counts
+    for nb in (2, 4):
+        db = admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho,
+                              8.0, 0.5, nb, 10, 1.7, interpret=True,
+                              double_buffer=True)
+        for i, (a, b) in enumerate(zip(ref[:7], db[:7])):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-6,
+                                       err_msg=f"db nb{nb} out[{i}]")
+        np.testing.assert_allclose(np.asarray(ref[7]), np.asarray(db[7]),
+                                   rtol=1e-5)
 
 
 def test_admm_band_count():

@@ -3,7 +3,18 @@
 Per-kernel FLOP and VMEM-traffic counts are derived statically from the
 kernel structure (the per-plane operation lists below mirror the update
 functions in prost_tpu/ops/fused_*.py line by line) and combined with
-measured iteration times (bench.py) into achieved-vs-peak rates.
+measured iteration rates into achieved-vs-peak fractions.
+
+Two rates per kernel (round 3, both serial-chain measured —
+tools/probe_timing.py):
+
+* KERNEL-ONLY (tools/kernel_rates.py): the chunk kernel in a
+  dependency-chained lax.while_loop, nothing else — the number the
+  utilization columns use.
+* END-TO-END (bench.py): the full solver path (scalar adaptation,
+  stopping, state pytree).  After the round-3 plane-carry restructure
+  the end-to-end rate sits at 90-97% of kernel-only for every structure;
+  the residual gap is per-chunk dispatch + the while_loop step.
 
 Peaks (TPU v5e, one chip):
   * MXU bf16: 197 TFLOP/s (published).  These kernels do not use the MXU
@@ -21,12 +32,13 @@ Peaks (TPU v5e, one chip):
     the *fused lower bound* (live state reads + output writes only).
   * HBM 819 GB/s (published) — touched once per residual_iter CHUNK (one
     load + one store of the state planes), not per iteration: at ri=10,
-    512x512 ROF moves 7 MB per 43 us chunk = 163 GB/s, 20% of HBM peak
+    512x512 ROF moves 7 MB per 46 us chunk = 152 GB/s, 19% of HBM peak
     and fully overlapped; HBM is NOT the bound.  This is the design: the
     reference streams ~25 MB of HBM per iteration, these kernels per ten.
 
-Usage: python tools/roofline.py [measured_its_per_sec ...]
-(defaults to the round-2 bench measurements recorded in PERFORMANCE.md).
+Usage: python tools/roofline.py [name=end_to_end_its_per_sec ...]
+(defaults below are the round-3 serial-chain kernel-only rates; pass
+bench.py's end-to-end numbers to see the solver-path utilization).
 """
 
 import sys
@@ -34,6 +46,16 @@ import sys
 VPU_F32_PEAK = 6.2e12   # derived above
 VMEM_BW = 16e12         # ~20x HBM, rule of thumb
 HBM_BW = 819e9
+
+# kernel-only it/s, tools/kernel_rates.py on the v5e, 2026-08-21
+KERNEL_RATES = {
+    "rof512": 219500.0,
+    "tvl1_512": 184000.0,
+    "ml256x8": 113000.0,
+    "tight128x4": 275900.0,
+    "deblur512": 44900.0,
+    "vol256x8": 76400.0,
+}
 
 
 def counts_rof(nx, ny):
@@ -72,16 +94,17 @@ def counts_deblur(nx2, ny2, taps):
     gradient adjoints 6, primal 2, conv fwd 2T, stencils 4, conv-dual
     update 7, ball 14.
 
-    Latency analysis (round 3): each conv apply is 2T rolls (diagonal
-    motion taps need a row AND a column shift) feeding a T-term f32 sum
-    that the compiler cannot reassociate — a left fold serialized T
-    dependent adds behind 2-roll chains, which matched the measured
-    profile (12% VPU-flops at only 16% issue-slot occupancy: latency-,
-    not issue-bound).  The tap sums are now pairwise trees (critical
-    path ceil(log2 T)); rolls remain the dominant op class, so the
-    flops ceiling stays intrinsically lower than ROF's."""
+    Why this kernel's %VPU(flops) is intrinsically the lowest: each conv
+    apply is 2T rolls (diagonal motion taps need a row AND a column
+    shift) — 4T rolls/iter vs the gradient family's 4-8 — and a roll
+    occupies issue slots without counting as a FLOP.  Round-3 serial
+    A/B of the tap-sum association (pairwise tree vs serialized left
+    fold): 226 vs 241 us/chunk, 6% — so the kernel is ISSUE-bound on
+    rolls, not latency-bound (the round-2 latency hypothesis came from
+    the broken host-loop probe).  Per-iteration cost vs ROF matches the
+    roll ratio: 22.3 us/iter with ~32 rolls vs ROF's 4.6 us with 8."""
     flops = 4 * taps + 38
-    vpu_ops = flops + 2 * taps + 8
+    vpu_ops = flops + 4 * taps + 8
     planes_lb = 14
     return nx2 * ny2, flops, vpu_ops, planes_lb
 
@@ -109,30 +132,25 @@ def report(name, px, flops_px, vpu_px, planes_lb, its_per_sec):
 
 
 def chunk_decomposition(name, px, planes_in, planes_out, ri, its_per_sec,
-                        t_kernel_profiled=None):
-    """End-to-end chunk time = HBM state movement (whole-plane kernels
-    serialize the in/out DMAs around compute) + in-kernel VPU time +
-    dispatch/XLA glue (reshapes, scalar adaptation, while_loop step)."""
+                        t_kernel=None):
+    """End-to-end chunk time = in-kernel time (serial-chain measured) +
+    dispatch/XLA glue; the whole-plane kernels' HBM state in/out streams
+    overlap the VMEM compute (shown for scale)."""
     t_chunk = ri / its_per_sec
     hbm_bytes = (planes_in + planes_out) * px * 4
     t_hbm = hbm_bytes / HBM_BW
-    line = (f"{name}: chunk {1e6*t_chunk:.0f} us = HBM {1e6*t_hbm:.0f} us "
-            f"({hbm_bytes/1e6:.0f} MB @ 819 GB/s)")
-    if t_kernel_profiled is not None:
-        t_glue = t_chunk - t_hbm - t_kernel_profiled
-        line += (f" + in-kernel compute {1e6*t_kernel_profiled:.0f} us "
-                 f"(profiled) + dispatch/glue {1e6*t_glue:.0f} us")
+    line = (f"{name}: chunk {1e6*t_chunk:.0f} us; HBM state in/out "
+            f"{1e6*t_hbm:.0f} us ({hbm_bytes/1e6:.0f} MB @ 819 GB/s, "
+            f"overlapped)")
+    if t_kernel is not None:
+        t_glue = t_chunk - t_kernel
+        line += (f"; in-kernel {1e6*t_kernel:.0f} us "
+                 f"+ dispatch/glue {1e6*t_glue:.0f} us")
     print(line)
 
 
 def main(argv):
-    # measured it/s (bench.py on the v5e, 2026-08, round 2); override via args
-    meas = {
-        "rof512": 145600.0,
-        "ml256x8": 76200.0,
-        "tight128x4": 297000.0,
-        "deblur512": 37000.0,
-    }
+    meas = dict(KERNEL_RATES)
     for a in argv:
         k, v = a.split("=")
         meas[k] = float(v)
@@ -144,15 +162,15 @@ def main(argv):
     report("multilabel 256x256x8", *counts_ml(256, 256, 8), meas["ml256x8"])
     report("tight 128x128x4 (k=6)", *counts_tight(128, 128, 4, 6),
            meas["tight128x4"])
-    report("deblur 512x512 (T=9)", *counts_deblur(520, 520, 9),
+    report("deblur 512x512 (T=7)", *counts_deblur(520, 520, 7),
            meas["deblur512"])
-    if "vol256x8" in meas:
-        report("vol 8x256x256", *counts_vol(8, 256, 256), meas["vol256x8"])
+    report("vol 8x256x256", *counts_vol(8, 256, 256), meas["vol256x8"])
     print()
     # ROF chunk: reads x + q(2) + f (w dead for square), writes
-    # x2 + q2(2) + x_prev + q_prev(2); in-kernel 43 us profiled (round 1)
+    # x2 + q2(2) + x_prev + q_prev(2); kernel-only 46 us (round 3)
     chunk_decomposition("ROF 512x512 ri=10", 512 * 512, 4, 6, 10,
-                        meas["rof512"], t_kernel_profiled=43e-6)
+                        meas["rof512"],
+                        t_kernel=10.0 / KERNEL_RATES["rof512"])
     return 0
 
 
