@@ -695,11 +695,25 @@ class FusedROFADMM(BackendADMM):
             if whole:
                 self.mode = "cgls" if proj == "cgls" else "cheby"
             elif proj in ("auto", "cheby"):
+                # prefer the double-buffered banded kernel (window DMAs
+                # overlap compute; they recur every OUTER iteration here,
+                # so hiding them is worth ~25%: 2048^2 measured 1173
+                # us/iter db vs 1492 single, tools/admm_db_probe.py) at
+                # its ~2x window footprint; fall back to single-buffer
+                # when only the smaller footprint tiles
                 nb = admm_band_count(self.rof["nx"], self.rof["ny"],
-                                     opts.cheby_degree)
+                                     opts.cheby_degree, n_planes=40)
                 if nb is not None:
                     self.mode = "banded"
                     self.rof["n_bands"] = nb
+                    self.rof["double_buffer"] = True
+                else:
+                    nb = admm_band_count(self.rof["nx"], self.rof["ny"],
+                                         opts.cheby_degree)
+                    if nb is not None:
+                        self.mode = "banded"
+                        self.rof["n_bands"] = nb
+                        self.rof["double_buffer"] = False
         if self.mode in ("cheby", "banded"):
             # generic align/tail phases run the SAME Chebyshev projection
             # (plan-based, admm.py) so the whole run follows one solver
@@ -728,7 +742,8 @@ class FusedROFADMM(BackendADMM):
                 return _fused_admm_banded_run(
                     self.problem, self.prox_g, self.prox_f, self.run_opts,
                     self.run_plan, r["nx"], r["ny"], r["lmb"],
-                    r["dataterm"], r["n_bands"], self.interpret,
+                    r["dataterm"], r["n_bands"],
+                    r.get("double_buffer", False), self.interpret,
                     tols, r["f"], r["w"],
                     jnp.asarray(r["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -825,11 +840,11 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
     return lax.while_loop(cond_c, generic, state)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(16,))
 def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
-                           dataterm, n_bands, interpret, tols, f_plane,
-                           w_plane, radius, state, until):
+                           dataterm, n_bands, double_buffer, interpret,
+                           tols, f_plane, w_plane, radius, state, until):
     """Banded Chebyshev-ADMM run for planes too large for VMEM: one
     banded kernel launch per outer iteration (cross-band information
     flows through HBM between launches; within a launch each band
@@ -851,7 +866,8 @@ def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
             s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
             s.cg_warm.reshape(nx, ny), f_plane, w_plane,
             s.rho, lmb, radius, n_bands, degree, opts.alpha,
-            dataterm=dataterm, interpret=interpret, with_norms=with_norms)
+            dataterm=dataterm, interpret=interpret, with_norms=with_norms,
+            double_buffer=double_buffer)
         xh, xp, xd, zh, zp, zd, warm, norms2 = outs
         s = dataclasses.replace(
             s,
