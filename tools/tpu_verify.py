@@ -243,6 +243,15 @@ def verify_admm_banded():
         ok = all(_check(f"nb{nb} out[{i}]", a, b) for i, (a, b) in
                  enumerate(zip(ref[:7], ban[:7]))) and ok
         ok = _check(f"nb{nb} norms", ref[7], ban[7], tol=1e-5) and ok
+    # double-buffered variant (the round-3 default): cross-grid-step DMA
+    # pipelining with per-buffer semaphores — exactly the scheduling
+    # interpret mode cannot validate
+    for nb in (4, 8):
+        db = admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho,
+                              16.0, 0.5, nb, 10, 1.7, double_buffer=True)
+        ok = all(_check(f"db nb{nb} out[{i}]", a, b) for i, (a, b) in
+                 enumerate(zip(ref[:7], db[:7]))) and ok
+        ok = _check(f"db nb{nb} norms", ref[7], db[7], tol=1e-5) and ok
     return ok
 
 
