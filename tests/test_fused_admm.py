@@ -172,19 +172,21 @@ def test_banded_admm_matches_whole_plane(n_bands):
     assert whole.mode == "cheby"
     ws = whole.run(whole.initial_state(), 40)
 
-    band = FusedROFADMM(prob, aopts, _opts(), interpret=True)
-    band.mode = "banded"                      # force the banded path
-    band.rof["n_bands"] = n_bands
-    bs = band.run(band.initial_state(), 40)
+    for db in (False, True):  # single- and double-buffered banded runs
+        band = FusedROFADMM(prob, aopts, _opts(), interpret=True)
+        band.mode = "banded"                  # force the banded path
+        band.rof["n_bands"] = n_bands
+        band.rof["double_buffer"] = db
+        bs = band.run(band.initial_state(), 40)
 
-    assert int(bs.iteration) == int(ws.iteration) == 40
-    np.testing.assert_allclose(np.asarray(bs.x_half), np.asarray(ws.x_half),
-                               atol=2e-6)
-    np.testing.assert_allclose(np.asarray(bs.z_half), np.asarray(ws.z_half),
-                               atol=2e-6)
-    np.testing.assert_allclose(float(bs.primal_residual),
-                               float(ws.primal_residual), rtol=1e-4)
-    np.testing.assert_allclose(float(bs.rho), float(ws.rho), rtol=1e-6)
+        assert int(bs.iteration) == int(ws.iteration) == 40
+        np.testing.assert_allclose(np.asarray(bs.x_half),
+                                   np.asarray(ws.x_half), atol=2e-6)
+        np.testing.assert_allclose(np.asarray(bs.z_half),
+                                   np.asarray(ws.z_half), atol=2e-6)
+        np.testing.assert_allclose(float(bs.primal_residual),
+                                   float(ws.primal_residual), rtol=1e-4)
+        np.testing.assert_allclose(float(bs.rho), float(ws.rho), rtol=1e-6)
 
 
 def test_banded_kernel_unit_vs_whole_chunk():
