@@ -70,6 +70,42 @@ def make_cow(width=460, height=276, seed=7):
     return np.clip(img, 0.0, 1.0)
 
 
+def make_junction(size=256, seed=11):
+    """A texture-rich multi-region junction image, (size, size) gray float
+    in [0, 1] — same role and geometry as the reference's
+    ``images/junction_gray.png`` (256x256): several differently-shaded
+    regions meeting at a central junction, with per-region texture so TV
+    and deblurring workloads see statistics distinct from the cow
+    fixture's large flat areas."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+    cx, cy = size * 0.52, size * 0.47
+    ang = np.arctan2(yy - cy, xx - cx)
+
+    # four wedge sectors with a wavy boundary perturbation
+    wob = 0.25 * np.sin(3.0 * ang + (np.hypot(xx - cx, yy - cy)) / 23.0)
+    sector = np.floor((ang + wob + np.pi) / (2 * np.pi) * 4).astype(int) % 4
+    levels = np.array([0.20, 0.45, 0.70, 0.90])
+    img = levels[sector]
+
+    # per-sector texture: oriented sinusoids with different frequencies
+    tex = (
+        0.06 * np.sin(xx / 5.0 + yy / 11.0) * (sector == 0)
+        + 0.05 * np.sin(yy / 4.0) * (sector == 1)
+        + 0.05 * np.sin((xx + yy) / 7.0) * (sector == 2)
+        + 0.04 * np.sin(xx / 3.0 - yy / 9.0) * (sector == 3)
+    )
+    img = img + tex
+
+    # a bright disk straddling two sectors (extra junction structure)
+    img[_ellipse(xx, yy, cx + size * 0.22, cy - size * 0.18,
+                 size * 0.09, size * 0.09)] = 0.98
+
+    # mild photographic noise
+    img += 0.02 * rng.randn(size, size)
+    return np.clip(img, 0.0, 1.0)
+
+
 def main():
     from PIL import Image
 
@@ -78,6 +114,10 @@ def main():
     Image.fromarray((img * 255.0 + 0.5).astype(np.uint8)).save(
         os.path.join(here, "cow.png"))
     print("wrote", os.path.join(here, "cow.png"))
+    jim = make_junction()
+    Image.fromarray((jim * 255.0 + 0.5).astype(np.uint8)).save(
+        os.path.join(here, "junction_gray.png"))
+    print("wrote", os.path.join(here, "junction_gray.png"))
 
 
 if __name__ == "__main__":
