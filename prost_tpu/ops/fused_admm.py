@@ -66,8 +66,8 @@ from jax import lax
 
 from ..backend.admm import (ADMMState, BackendADMM, admm_residual_adapt,
                             admm_step)
-from .fused_rof import (_VMEM_LIMIT, _SQRT_S, _SQRT_T, _shift_ops,
-                        fits_vmem, match_rof_structure)
+from .fused_rof import (_K_CHUNKS, _VMEM_LIMIT, _SQRT_S, _SQRT_T,
+                        _shift_ops, fits_vmem, match_rof_structure)
 
 _C_K = _SQRT_S * _SQRT_T  # K~ = c_K * grad
 
@@ -343,6 +343,163 @@ def admm_fused_chunk(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(scal, cg_tols, xh, xp, xd, zh, zp, zd, warm, f, w)
+
+
+def admm_adapt_scalars(consts, tols4, it, rho, delta, arb_l, arb_u,
+                       pr, pn, dr, dn):
+    """In-kernel mirror of ``backend.admm.admm_residual_adapt``'s scalar
+    math (backend_admm.cu:632-663): same f32 operations in the same
+    order.  ``consts`` = (sqrt_nrows, sqrt_ncols, arb_tau, arb_gamma)
+    are compile-time floats; ``it`` is the POST-increment iteration
+    counter of the chunk's last iteration (as f32).
+
+    Returns (rho, delta, arb_l, arb_u, dual_rescale_fac, converged)."""
+    trp, trd, tap, tad = tols4
+    sqrt_nrows, sqrt_ncols, arb_tau, arb_gamma = consts
+    eps_pri = sqrt_nrows * tap + trp * pn
+    eps_dua = sqrt_ncols * tad + trd * dn
+    c1 = (dr < eps_dua) & (arb_tau * it > arb_l)
+    c2 = (pr < eps_pri) & (arb_tau * it > arb_u) & ~c1
+    rho_new = jnp.where(c1, rho * delta, jnp.where(c2, rho / delta, rho))
+    delta_new = jnp.where(c1 | c2, delta * arb_gamma, delta)
+    arb_u = jnp.where(c1, it, arb_u)
+    arb_l = jnp.where(c2, it, arb_l)
+    fac = rho / rho_new
+    conv = (pr < eps_pri) & (dr < eps_dua)
+    return rho_new, delta_new, arb_l, arb_u, fac, conv
+
+
+def admm_adapt_consts(problem, opts) -> tuple:
+    """The compile-time constant tuple for ``admm_adapt_scalars``."""
+    import math
+
+    return (math.sqrt(float(problem.nrows)),
+            math.sqrt(float(problem.ncols)),
+            float(opts.arb_tau), float(opts.arb_gamma))
+
+
+def _admm_multichunk_kernel(scal_ref, xh_ref, xp_ref, xd_ref,
+                            zh_ref, zp_ref, zd_ref, warm_ref, f_ref, w_ref,
+                            xho_ref, xpo_ref, xdo_ref, zho_ref, zpo_ref,
+                            zdo_ref, warmo_ref, norms_ref, sout_ref, *,
+                            count: int, k_chunks: int, alpha: float,
+                            dataterm: str, cheby_degree: int, consts):
+    """``k_chunks`` residual_iter-sized Chebyshev-ADMM chunks in ONE
+    kernel with the Boyd rho-adaptation (including its dual-variable
+    rescale) and the convergence test run IN-KERNEL between chunks —
+    the ADMM analog of ``fused_rof._rof_multichunk_kernel``.  rho stays
+    constant within each chunk exactly as the reference adapts it only
+    at residual iterations.
+
+    scal_ref (SMEM, 11): [rho, lmb, radius, delta, arb_l, arb_u, it0,
+    tol_rel_p, tol_rel_d, tol_abs_p, tol_abs_d].  norms_ref (SMEM out,
+    4): the last executed chunk's residual norms (sqrt'd).  sout_ref
+    (SMEM out, 6): [rho, delta, arb_l, arb_u, converged, chunks_done].
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    lmb = scal_ref[1]
+    radius = scal_ref[2]
+    it0 = scal_ref[6]
+    tols4 = (scal_ref[7], scal_ref[8], scal_ref[9], scal_ref[10])
+    f = f_ref[...]
+    w = w_ref[...] if dataterm == "wsquare" else None
+    ops = _shift_ops(f.shape, pltpu.roll)
+    zero = jnp.zeros((), f.dtype)
+
+    def chunk(c, carry):
+        planes, scal, _ = carry
+
+        def run(t):
+            planes_t, scal_t, _ = t
+            rho, delta, arb_l, arb_u, conv, done = scal_t
+
+            def body(_, pp):
+                xh, xp, xd, zh, zp, zd, warm = pp
+                project = partial(_cheby_project, degree=cheby_degree,
+                                  ops=ops)
+                return _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, w,
+                                  project, rho, lmb, radius, alpha, ops,
+                                  dataterm)
+
+            xh, xp, xd, zh, zp, zd, warm = lax.fori_loop(
+                0, count, body, planes_t)
+            nrm = _admm_norms(xh, xp, xd, zh, zp, zd, rho, ops)
+            pr = jnp.sqrt(nrm[0])
+            pn_ = jnp.sqrt(nrm[1])
+            dr = jnp.sqrt(nrm[2])
+            dn_ = jnp.sqrt(nrm[3])
+            it = it0 + ((c + 1) * count).astype(f.dtype)
+            rho2, delta2, al2, au2, fac, cv = admm_adapt_scalars(
+                consts, tols4, it, rho, delta, arb_l, arb_u,
+                pr, pn_, dr, dn_)
+            return ((xh, xp, xd * fac, zh, zp,
+                     (zd[0] * fac, zd[1] * fac), warm),
+                    (rho2, delta2, al2, au2, cv, done + 1.0),
+                    (pr, pn_, dr, dn_))
+
+        conv = scal[4]
+        return lax.cond(conv, lambda t: t, run, carry)
+
+    zh0, zp0, zd0 = zh_ref[...], zp_ref[...], zd_ref[...]
+    init = (
+        (xh_ref[...], xp_ref[...], xd_ref[...],
+         (zh0[0], zh0[1]), (zp0[0], zp0[1]), (zd0[0], zd0[1]),
+         warm_ref[...]),
+        (scal_ref[0], scal_ref[3], scal_ref[4], scal_ref[5],
+         jnp.asarray(False), zero),
+        (zero, zero, zero, zero),
+    )
+    planes, scal, norms = lax.fori_loop(0, k_chunks, chunk, init)
+    xh, xp, xd, zh, zp, zd, warm = planes
+    rho, delta, arb_l, arb_u, conv, done = scal
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    for i, v in enumerate((rho, delta, arb_l, arb_u,
+                           conv.astype(f.dtype), done)):
+        sout_ref[i] = v
+    xho_ref[...] = xh
+    xpo_ref[...] = xp
+    xdo_ref[...] = xd
+    zho_ref[0] = zh[0]
+    zho_ref[1] = zh[1]
+    zpo_ref[0] = zp[0]
+    zpo_ref[1] = zp[1]
+    zdo_ref[0] = zd[0]
+    zdo_ref[1] = zd[1]
+    warmo_ref[...] = warm
+
+
+def admm_fused_multichunk(xh, xp, xd, zh, zp, zd, warm, f, w, scal11,
+                          count, k_chunks, alpha, cheby_degree, consts,
+                          dataterm: str = "square",
+                          interpret: bool = False):
+    """Up to ``k_chunks * count`` fused Chebyshev-ADMM iterations in ONE
+    kernel with in-kernel rho-adaptation/convergence.  ``scal11`` is the
+    length-11 SMEM vector documented on ``_admm_multichunk_kernel``.
+    Returns the 7 updated state arrays + norms (4, sqrt'd, last executed
+    chunk) + sout (6 scalars)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (xh, xp, xd, zh, zp, zd, warm)]
+    out_shape.append(jax.ShapeDtypeStruct((4,), xh.dtype))
+    out_shape.append(jax.ShapeDtypeStruct((6,), xh.dtype))
+    return pl.pallas_call(
+        partial(_admm_multichunk_kernel, count=int(count),
+                k_chunks=int(k_chunks), alpha=float(alpha),
+                dataterm=dataterm, cheby_degree=int(cheby_degree),
+                consts=consts),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 9,
+        out_specs=[plane] * 7 + [smem, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal11, xh, xp, xd, zh, zp, zd, warm, f, w)
 
 
 def _admm_banded_kernel(scal_ref, off_ref, xh_hbm, xp_hbm, xd_hbm, zh_hbm,
@@ -639,6 +796,316 @@ def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     return outs[:7] + (jnp.sum(outs[7], axis=1),)
 
 
+def _admm_banded_chunk_kernel(scal_ref, base_ref, f_hbm, w_hbm,
+                              xh2, xp2, xd2, zh2, zd2, warm2,
+                              xho, xpo, xdo, zho, zdo, warmo, norms_ref,
+                              xhs, xps, xds, zhs, zds, warms, fs, ws,
+                              in_sem, out_sem, *,
+                              count: int, nx: int, ny: int, rows: int,
+                              halo: int, degree: int, alpha: float,
+                              dataterm: str, n_bands: int,
+                              double_buffer: bool):
+    """A whole residual_iter-sized chunk of banded Chebyshev-ADMM in ONE
+    launch: grid = (count, n_bands), iterations OUTER, bands INNER.  The
+    state lives in length-2 ping-pong HBM arrays updated IN PLACE
+    (input_output_aliases): iteration t reads slot (base+t)%2 — fully
+    written by iteration t-1's bands before any band of t starts (the
+    TPU grid is sequential) — and writes slot (base+t+1)%2.  Each
+    (t, i) step DMAs band i's halo-extended window of the 8 state planes
+    (z_proj is NOT part of the state: z_proj == grad(x_proj) invariantly,
+    so it is recomputed in-kernel and refreshed once per run() in an XLA
+    epilogue), runs ONE `_admm_iter` with the dot-product-free Chebyshev
+    projection, and writes its owned rows back.  Compared with the
+    launch-per-iteration design this amortizes dispatch over the chunk
+    and lets the window DMA pipeline run across the whole (count *
+    n_bands)-step grid without draining at iteration boundaries; the
+    halo stays the per-iteration reach (no k-fold recompute growth).
+
+    scal_ref (SMEM f32, 4): [rho, lmb, radius, fac] — ``fac`` is the
+    PENDING dual-rescale factor of the previous chunk's rho adaptation,
+    applied to the fetched x_dual/z_dual windows at t == 0 (the caller
+    keeps HBM state un-rescaled and folds the factor into the next
+    chunk, exactly reproducing admm_residual_adapt's rescale).
+    base_ref (SMEM int32, 1): the ping-pong slot holding the current
+    state.  norms_ref (SMEM out, (4, n_bands)): the LAST iteration's
+    per-band squared residual norms (owned rows).
+
+    Safety: prefetching the next iteration's first window while the last
+    band writes back is only legal when the window cannot overlap the
+    last band's owned rows ((n_bands - 2) * rows >= ext - rows); when it
+    can, the pipeline DRAINS at iteration boundaries instead (wait the
+    last writeback, then fetch).  Offsets are 8-aligned by construction
+    (same discipline as `_admm_banded_kernel`; interpret mode clamps bad
+    offsets, so hardware verification via tools/tpu_verify.py is
+    mandatory after changes here)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    t = pl.program_id(0)
+    i = pl.program_id(1)
+    step = t * n_bands + i
+    base = base_ref[0]
+    ext = xhs.shape[-2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+
+    def geom(j):
+        start8 = jnp.clip(j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (j * r8 - start8)
+
+    # scratch views: single-buffer mode uses slot 0 only
+    def sv(ref, buf):
+        return ref.at[buf] if double_buffer else ref
+
+    x_pairs = ((xho, xhs), (xpo, xps), (xdo, xds), (warmo, warms))
+    z_pairs = ((zho, zhs), (zdo, zds))
+
+    def in_copies(tt, j, buf):
+        # fetch band j's window of iteration tt's state (slot base+tt)
+        slot = lax.rem(base + tt, 2)
+        start, _ = geom(j)
+        sem = in_sem.at[buf] if double_buffer else in_sem
+        cs = [pltpu.make_async_copy(
+            h.at[slot, pl.ds(start, ext)], sv(s, buf), sem)
+            for h, s in x_pairs]
+        cs += [pltpu.make_async_copy(
+            h.at[slot, :, pl.ds(start, ext)], sv(s, buf), sem)
+            for h, s in z_pairs]
+        cs.append(pltpu.make_async_copy(
+            f_hbm.at[pl.ds(start, ext)], sv(fs, buf), sem))
+        if dataterm == "wsquare":
+            cs.append(pltpu.make_async_copy(
+                w_hbm.at[pl.ds(start, ext)], sv(ws, buf), sem))
+        return cs
+
+    def out_copies(tt, j, buf):
+        # write band j's owned rows into iteration tt+1's slot
+        slot = lax.rem(base + tt + 1, 2)
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf] if double_buffer else out_sem
+        cs = [pltpu.make_async_copy(
+            sv(s, buf).at[pl.ds(own_w, rows)],
+            h.at[slot, pl.ds(lo, rows)], sem) for h, s in x_pairs]
+        cs += [pltpu.make_async_copy(
+            sv(s, buf).at[:, pl.ds(own_w, rows)],
+            h.at[slot, :, pl.ds(lo, rows)], sem) for h, s in z_pairs]
+        return cs
+
+    def nxt(tt, j):
+        # the grid successor of (tt, j), clamped at the end
+        last = j == n_bands - 1
+        return jnp.where(last, tt + 1, tt), jnp.where(last, 0, j + 1)
+
+    # cross-iteration prefetch is only safe when iteration t+1's first
+    # window cannot overlap band n_bands-1's not-yet-written owned rows
+    safe_cross = (n_bands - 2) * rows >= ext - rows
+
+    if double_buffer:
+        p = lax.rem(step, 2)
+
+        @pl.when(step == 0)
+        def _():
+            for c in in_copies(0, 0, p):
+                c.start()
+
+        if safe_cross:
+            for c in in_copies(t, i, p):
+                c.wait()
+
+            # free the other buffer (previous step's writeback), then
+            # prefetch the successor step's window
+            @pl.when(step >= 1)
+            def _():
+                pt_, pj = jnp.where(i == 0, t - 1, t), \
+                    jnp.where(i == 0, n_bands - 1, i - 1)
+                for c in out_copies(pt_, pj, 1 - p):
+                    c.wait()
+
+            @pl.when(step + 1 < count * n_bands)
+            def _():
+                nt, nj = nxt(t, i)
+                for c in in_copies(nt, nj, 1 - p):
+                    c.start()
+        else:
+            # drain at iteration boundaries: wait the previous
+            # iteration's last writeback BEFORE fetching our window
+            @pl.when((i == 0) & (t >= 1))
+            def _():
+                for c in out_copies(t - 1, n_bands - 1, 1 - p):
+                    c.wait()
+                for c in in_copies(t, 0, p):
+                    c.start()
+
+            for c in in_copies(t, i, p):
+                c.wait()
+
+            @pl.when(i >= 1)
+            def _():
+                for c in out_copies(t, i - 1, 1 - p):
+                    c.wait()
+
+            @pl.when(i + 1 < n_bands)
+            def _():
+                for c in in_copies(t, i + 1, 1 - p):
+                    c.start()
+    else:
+        p = 0
+        cs = in_copies(t, i, p)
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+    start, own_w = geom(i)
+
+    # pending dual rescale from the previous chunk's rho adaptation
+    @pl.when(t == 0)
+    def _():
+        fac = scal_ref[3]
+        sv(xds, p)[...] = sv(xds, p)[...] * fac
+        sv(zds, p)[...] = sv(zds, p)[...] * fac
+
+    shape = (ext, ny)
+    ops = _shift_ops(shape, pltpu.roll, row_offset=start, nx_global=nx)
+    rho = scal_ref[0]
+    project = partial(_cheby_project, degree=degree, ops=ops)
+    w = sv(ws, p)[...] if dataterm == "wsquare" else None
+    zh0 = sv(zhs, p)[...]
+    zd0 = sv(zds, p)[...]
+    xp0 = sv(xps, p)[...]
+    # z_proj is not stored: recompute grad(x_proj) (the _admm_iter body
+    # never reads it; only the norms do, via the NEW iterate's zp)
+    xh, xp, xd, zh, zp, zd, u = _admm_iter(
+        sv(xhs, p)[...], xp0, sv(xds, p)[...], (zh0[0], zh0[1]),
+        (None, None), (zd0[0], zd0[1]), sv(warms, p)[...],
+        sv(fs, p)[...], w, project, rho, scal_ref[1], scal_ref[2],
+        alpha, ops, dataterm)
+
+    @pl.when(t == count - 1)
+    def _():
+        lri = lax.broadcasted_iota(jnp.int32, shape, 0)
+        owned = (lri >= own_w) & (lri < own_w + rows)
+
+        def nsum(v):
+            return jnp.sum(jnp.where(owned, v, 0.0))
+
+        norms = _admm_norms(xh, xp, xd, zh, zp, zd, rho, ops, nsum)
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+
+    sv(xhs, p)[...] = xh
+    sv(xps, p)[...] = xp
+    sv(xds, p)[...] = xd
+    sv(zhs, p)[0] = zh[0]
+    sv(zhs, p)[1] = zh[1]
+    sv(zds, p)[0] = zd[0]
+    sv(zds, p)[1] = zd[1]
+    sv(warms, p)[...] = u
+
+    if double_buffer:
+        for c in out_copies(t, i, p):
+            c.start()
+
+        @pl.when(step == count * n_bands - 1)
+        def _():
+            for c in out_copies(t, i, p):
+                c.wait()
+    else:
+        cs = out_copies(t, i, p)
+        for c in cs:
+            c.start()
+        for c in cs:
+            c.wait()
+
+
+def admm_banded_chunk(xh2, xp2, xd2, zh2, zd2, warm2, f, w, base, rho,
+                      fac, lmb, radius, count: int, n_bands: int,
+                      degree: int, alpha: float, dataterm: str = "square",
+                      interpret: bool = False, double_buffer: bool = True):
+    """``count`` banded Chebyshev-ADMM iterations in ONE launch on the
+    ping-pong state arrays (leading dim 2; ``base`` int32 scalar = slot
+    holding the current state; after the call slot (base+count)%2 holds
+    the new state).  The six state arrays are updated IN PLACE
+    (input_output_aliases) and returned; also returns the 4-vector of
+    SQUARED residual norms of the final iterate.  ``fac`` is the pending
+    dual-rescale factor (see kernel docstring)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny = xh2.shape[-2:]
+    halo = admm_cheby_halo_rows(degree)
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    dt = xh2.dtype
+    scal = jnp.stack([rho, jnp.asarray(lmb, dt), jnp.asarray(radius, dt),
+                      fac.astype(dt)])
+    base_v = jnp.asarray(base, jnp.int32).reshape(1)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (xh2, xp2, xd2, zh2, zd2, warm2)]
+    out_shape.append(jax.ShapeDtypeStruct((4, n_bands), dt))
+
+    if double_buffer:
+        pl1 = pltpu.VMEM((2, ext, ny), dt)
+        pl2 = pltpu.VMEM((2, 2, ext, ny), dt)
+        sems = [pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,))]
+    else:
+        pl1 = pltpu.VMEM((ext, ny), dt)
+        pl2 = pltpu.VMEM((2, ext, ny), dt)
+        sems = [pltpu.SemaphoreType.DMA, pltpu.SemaphoreType.DMA]
+    scratch = [pl1, pl1, pl1, pl2, pl2, pl1, pl1, pl1] + sems
+
+    outs = pl.pallas_call(
+        partial(_admm_banded_chunk_kernel, count=int(count), nx=nx, ny=ny,
+                rows=rows, halo=halo, degree=int(degree),
+                alpha=float(alpha), dataterm=dataterm, n_bands=n_bands,
+                double_buffer=double_buffer),
+        grid=(int(count), int(n_bands)),
+        out_shape=out_shape,
+        in_specs=[smem, smem, hbm, hbm] + [hbm] * 6,
+        out_specs=[hbm] * 6 + [smem],
+        scratch_shapes=scratch,
+        input_output_aliases={4: 0, 5: 1, 6: 2, 7: 3, 8: 4, 9: 5},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, base_v, f, w, xh2, xp2, xd2, zh2, zd2, warm2)
+    return outs[:6] + (jnp.sum(outs[6], axis=1),)
+
+
+def admm_chunk_band_plan(nx: int, ny: int, degree: int,
+                         itemsize: int = 4):
+    """Band tiling for `admm_banded_chunk`: smallest divisor ``n_bands``
+    of nx (rows an 8-multiple, >= the halo) whose windows fit the VMEM
+    budget.  Prefers the double-buffered footprint (~16 window planes +
+    temporaries ~= 36) when it tiles at the same n_bands as the
+    single-buffer footprint (~22) — mirroring the ROF routing guard
+    (fused_rof.py) — else falls back to single-buffer.  Returns
+    (n_bands, double_buffer) or None."""
+    budget = int(0.75 * _VMEM_LIMIT)
+    halo = admm_cheby_halo_rows(degree)
+
+    def fits(n_bands, n_planes):
+        rows = nx // n_bands
+        ext = min(rows + 2 * halo, nx)
+        return (rows % 8 == 0 and rows >= halo
+                and ext * ny * itemsize * n_planes <= budget)
+
+    for n_bands in range(2, nx + 1):
+        if nx % n_bands:
+            continue
+        if fits(n_bands, 36):
+            return n_bands, True
+        if fits(n_bands, 22):
+            # double buffer would force a wider tiling: single-buffer
+            return n_bands, False
+    return None
+
+
 def admm_band_count(nx: int, ny: int, degree: int, n_planes: int = 24,
                     itemsize: int = 4) -> int | None:
     """Row-band tiling factor for the banded Chebyshev-ADMM kernel:
@@ -667,10 +1134,13 @@ class FusedROFADMM(BackendADMM):
     not match.  Inner-projection routing by ``opts.projection``:
 
     * "auto" (default): Chebyshev projection at any size — whole-plane
-      chunk kernel under VMEM, banded per-iteration kernel beyond; no
-      size cliff.  MEASURED 2.5x faster than the CGLS chunk at 512^2
+      chunk kernel under VMEM, chunked banded kernel beyond; no size
+      cliff.  MEASURED 2.5x faster than the CGLS chunk at 512^2
       (218 vs 541 us per 10-iteration chunk on the v5e, serial-chain
-      method, tools/banded_db_probe.py): the fixed-coefficient solve has
+      method, tools/banded_db_probe.py — despite its name that script
+      bundles the whole-plane CGLS-vs-Chebyshev A/B alongside the ROF
+      banded probes; the 2048^2 banded db-vs-single numbers are from
+      tools/admm_db_probe.py): the fixed-coefficient solve has
       no in-kernel reductions or masked predication, and both solvers
       contract at the same 0.172/step rate on this kappa<=2 system, so
       the trajectories agree to f32 (tests/test_fused_admm.py).
@@ -695,25 +1165,17 @@ class FusedROFADMM(BackendADMM):
             if whole:
                 self.mode = "cgls" if proj == "cgls" else "cheby"
             elif proj in ("auto", "cheby"):
-                # prefer the double-buffered banded kernel (window DMAs
-                # overlap compute; they recur every OUTER iteration here,
-                # so hiding them is worth ~25%: 2048^2 measured 1173
-                # us/iter db vs 1492 single, tools/admm_db_probe.py) at
-                # its ~2x window footprint; fall back to single-buffer
-                # when only the smaller footprint tiles
-                nb = admm_band_count(self.rof["nx"], self.rof["ny"],
-                                     opts.cheby_degree, n_planes=40)
-                if nb is not None:
+                # chunked banded kernel: grid (ri, n_bands), window DMAs
+                # pipelined across the whole chunk (admm_banded_chunk);
+                # the planner prefers the double-buffered footprint only
+                # when it does not force a wider tiling (same guard as
+                # the ROF routing, fused_rof.py)
+                plan_b = admm_chunk_band_plan(self.rof["nx"],
+                                              self.rof["ny"],
+                                              opts.cheby_degree)
+                if plan_b is not None:
                     self.mode = "banded"
-                    self.rof["n_bands"] = nb
-                    self.rof["double_buffer"] = True
-                else:
-                    nb = admm_band_count(self.rof["nx"], self.rof["ny"],
-                                         opts.cheby_degree)
-                    if nb is not None:
-                        self.mode = "banded"
-                        self.rof["n_bands"] = nb
-                        self.rof["double_buffer"] = False
+                    self.rof["n_bands"], self.rof["double_buffer"] = plan_b
         if self.mode in ("cheby", "banded"):
             # generic align/tail phases run the SAME Chebyshev projection
             # (plan-based, admm.py) so the whole run follows one solver
@@ -821,11 +1283,50 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
         return admm_residual_adapt(
             problem, opts, tols, s, norms[0], norms[1], norms[2], norms[3])
 
+    def multi_chunk(s: ADMMState) -> ADMMState:
+        dt = f_plane.dtype
+        scal11 = jnp.stack([
+            s.rho, jnp.asarray(lmb, dt), radius.astype(dt),
+            s.delta, s.arb_l, s.arb_u, s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        xh, xp, xd, zh, zp, zd, warm, norms, sc = admm_fused_multichunk(
+            s.x_half.reshape(nx, ny), s.x_proj.reshape(nx, ny),
+            s.x_dual.reshape(nx, ny), s.z_half.reshape(2, nx, ny),
+            s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
+            s.cg_warm.reshape(nx, ny), f_plane, w_plane, scal11,
+            ri, _K_CHUNKS, opts.alpha, opts.cheby_degree,
+            admm_adapt_consts(problem, opts), dataterm=dataterm,
+            interpret=interpret)
+        done = sc[5].astype(jnp.int32)
+        return dataclasses.replace(
+            s,
+            x_half=xh.reshape(-1), x_proj=xp.reshape(-1),
+            x_dual=xd.reshape(-1),
+            z_half=zh.reshape(-1), z_proj=zp.reshape(-1),
+            z_dual=zd.reshape(-1), cg_warm=warm.reshape(-1),
+            rho=sc[0], delta=sc[1], arb_l=sc[2], arb_u=sc[3],
+            converged=sc[4] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+
     # phase A: align to the residual grid (iteration % ri == 0)
     def cond_a(s):
         return (s.iteration % ri != 0) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # phase B0 (Chebyshev projection only — no per-iteration CG tolerance
+    # schedule in-kernel): multi-chunk launches with in-kernel
+    # rho-adaptation, _K_CHUNKS * ri iterations per kernel call
+    if cheby:
+        def cond_b0(s):
+            return (s.iteration + _K_CHUNKS * ri <= until) & ~s.converged
+
+        state = lax.while_loop(cond_b0, multi_chunk, state)
 
     # phase B: fused chunks of exactly ri iterations
     def cond_b(s):
@@ -845,51 +1346,25 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
 def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
                            dataterm, n_bands, double_buffer, interpret,
                            tols, f_plane, w_plane, radius, state, until):
-    """Banded Chebyshev-ADMM run for planes too large for VMEM: one
-    banded kernel launch per outer iteration (cross-band information
-    flows through HBM between launches; within a launch each band
-    recomputes its halo), norms only on the chunk's residual iteration.
-    Phase structure identical to ``_fused_admm_run``; the generic
-    align/tail phases use the plan-based generic Chebyshev projection so
-    the whole run follows one inner solver."""
+    """Banded Chebyshev-ADMM run for planes too large for VMEM: ONE
+    launch per residual_iter-sized chunk (`admm_banded_chunk`, grid =
+    (ri, n_bands), in-place ping-pong state).  The state lives in the
+    doubled plane arrays for the whole phase-B loop — flat-vector
+    packing happens once per run() — and the Boyd rho-adaptation runs on
+    the returned norms through `admm_adapt_scalars` (the same scalar
+    math as admm_residual_adapt), with the dual-variable rescale carried
+    as a PENDING factor folded into the next chunk's kernel (or into
+    the unpack epilogue).  Phase A/C generic steps use the plan-based
+    generic Chebyshev projection so the whole run follows one inner
+    solver."""
     ri = max(int(opts.residual_iter), 1)
     degree = int(opts.cheby_degree)
+    consts = admm_adapt_consts(problem, opts)
+    dt = f_plane.dtype
 
     def generic(s: ADMMState) -> ADMMState:
         return admm_step(problem, prox_g, prox_f, opts, tols, s,
                          proj_plan=plan)
-
-    def banded_iter(s: ADMMState, with_norms: bool):
-        outs = admm_banded_iter(
-            s.x_half.reshape(nx, ny), s.x_proj.reshape(nx, ny),
-            s.x_dual.reshape(nx, ny), s.z_half.reshape(2, nx, ny),
-            s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
-            s.cg_warm.reshape(nx, ny), f_plane, w_plane,
-            s.rho, lmb, radius, n_bands, degree, opts.alpha,
-            dataterm=dataterm, interpret=interpret, with_norms=with_norms,
-            double_buffer=double_buffer)
-        xh, xp, xd, zh, zp, zd, warm, norms2 = outs
-        s = dataclasses.replace(
-            s,
-            x_half=xh.reshape(-1), x_proj=xp.reshape(-1),
-            x_dual=xd.reshape(-1),
-            z_half=zh.reshape(-1), z_proj=zp.reshape(-1),
-            z_dual=zd.reshape(-1), cg_warm=warm.reshape(-1),
-            iteration=s.iteration + 1,
-        )
-        return s, norms2
-
-    def fused_chunk(s: ADMMState) -> ADMMState:
-        def body(_, q):
-            return banded_iter(q, with_norms=False)[0]
-
-        s = lax.fori_loop(0, ri - 1, body, s)
-        s, norms2 = banded_iter(s, with_norms=True)
-        norms = jnp.sqrt(norms2)
-        # adaptation sees the post-increment counter of the chunk's last
-        # iteration (cf. _fused_admm_run)
-        return admm_residual_adapt(
-            problem, opts, tols, s, norms[0], norms[1], norms[2], norms[3])
 
     # phase A: align to the residual grid (iteration % ri == 0)
     def cond_a(s):
@@ -897,11 +1372,71 @@ def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    # phase B: banded chunks of exactly ri iterations
-    def cond_b(s):
-        return (s.iteration + ri <= until) & ~s.converged
+    # pack the state into the ping-pong plane arrays (slot 0)
+    def dbl(a, shape):
+        return jnp.zeros((2,) + shape, a.dtype).at[0].set(a.reshape(shape))
 
-    state = lax.while_loop(cond_b, fused_chunk, state)
+    planes = (dbl(state.x_half, (nx, ny)), dbl(state.x_proj, (nx, ny)),
+              dbl(state.x_dual, (nx, ny)), dbl(state.z_half, (2, nx, ny)),
+              dbl(state.z_dual, (2, nx, ny)), dbl(state.cg_warm, (nx, ny)))
+    scal = (state.rho, state.delta, state.arb_l, state.arb_u,
+            jnp.asarray(1.0, dt),                    # pending dual rescale
+            jnp.asarray(0, jnp.int32),               # ping-pong base slot
+            state.iteration, state.converged,
+            state.primal_residual, state.primal_var_norm,
+            state.dual_residual, state.dual_var_norm)
+    tols4 = (jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+             jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt))
+
+    def cond_b(c):
+        _, sc = c
+        return (sc[6] + ri <= until) & ~sc[7]
+
+    def fused_chunk(c):
+        pl_, sc = c
+        (rho, delta, arb_l, arb_u, fac, base, it, conv,
+         _, _, _, _) = sc
+        xh2, xp2, xd2, zh2, zd2, warm2, norms2 = admm_banded_chunk(
+            *pl_, f_plane, w_plane, base, rho, fac, lmb, radius, ri,
+            n_bands, degree, opts.alpha, dataterm=dataterm,
+            interpret=interpret, double_buffer=double_buffer)
+        norms = jnp.sqrt(norms2)
+        it = it + ri
+        # adaptation sees the post-increment counter of the chunk's last
+        # iteration (cf. _fused_admm_run); the dual rescale becomes the
+        # next chunk's pending factor
+        rho2, delta2, al2, au2, fac2, cv = admm_adapt_scalars(
+            consts, tols4, it.astype(dt), rho, delta, arb_l, arb_u,
+            norms[0], norms[1], norms[2], norms[3])
+        base = lax.rem(base + ri, 2)
+        return ((xh2, xp2, xd2, zh2, zd2, warm2),
+                (rho2, delta2, al2, au2, fac2, base, it, cv,
+                 norms[0], norms[1], norms[2], norms[3]))
+
+    planes, scal = lax.while_loop(cond_b, fused_chunk, (planes, scal))
+
+    # unpack: dynamic slot select, apply the pending dual rescale, and
+    # refresh z_proj (== K x_proj invariantly; not stored by the kernel)
+    (rho, delta, arb_l, arb_u, fac, base, it, conv,
+     pr, pn, dr, dn) = scal
+
+    def pick(a2):
+        return lax.dynamic_index_in_dim(a2, base, 0, keepdims=False)
+
+    x_proj = pick(planes[1]).reshape(-1)
+    state = dataclasses.replace(
+        state,
+        x_half=pick(planes[0]).reshape(-1), x_proj=x_proj,
+        x_dual=(pick(planes[2]) * fac).reshape(-1),
+        z_half=pick(planes[3]).reshape(-1),
+        z_proj=problem.linop.apply(x_proj),
+        z_dual=(pick(planes[4]) * fac).reshape(-1),
+        cg_warm=pick(planes[5]).reshape(-1),
+        rho=rho, delta=delta, arb_l=arb_l, arb_u=arb_u,
+        iteration=it, converged=conv,
+        primal_residual=pr, primal_var_norm=pn,
+        dual_residual=dr, dual_var_norm=dn,
+    )
 
     # phase C: generic tail
     def cond_c(s):

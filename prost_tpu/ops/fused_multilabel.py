@@ -275,6 +275,74 @@ def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
                            interpret)
 
 
+def _ml_chunk_kernel_batched(scal_ref, u_ref, q_ref, s_ref, f_ref,
+                             uo_ref, qo_ref, so_ref,
+                             upo_ref, qpo_ref, spo_ref, norms_ref, *,
+                             count: int, L: int):
+    """Gridded batch variant (cf. fused_rof._rof_chunk_kernel_batched):
+    grid = (B,), one instance per grid step.  Plane refs carry a leading
+    length-1 instance axis; scal_ref/norms_ref are the WHOLE (5, B) /
+    (4, B) SMEM arrays indexed by program_id (instances-minor layout —
+    a blocked SMEM spec would violate Mosaic's divisibility rule)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    new, prev, norms = _ml_chunk_core(
+        scal_ref[0, b], scal_ref[1, b], scal_ref[2, b], scal_ref[3, b],
+        scal_ref[4, b], u_ref[0], q_ref[0], s_ref[0], f_ref[0], count, L)
+    u2, qx2, qy2, s2 = new
+    u, qx, qy, s = prev
+    for i in range(4):
+        norms_ref[i, b] = norms[i]
+    uo_ref[0] = u2
+    qo_ref[0, 0:L] = qx2
+    qo_ref[0, L:] = qy2
+    so_ref[0] = s2
+    upo_ref[0] = u
+    qpo_ref[0, 0:L] = qx
+    qpo_ref[0, L:] = qy
+    spo_ref[0] = s
+
+
+def ml_fused_chunk_batched(u, q, s, f, scal, count,
+                           interpret: bool = False):
+    """Batched multilabel chunk: grid over the instance axis, one chunk
+    per instance per kernel call.  u/f are (B, L, nx, ny), q is
+    (B, 2L, nx, ny), s is (B, nx, ny); scal is (5, B) instances-minor
+    rows of [tau, sigma, theta, radius, d_s].  Returns the same tuple as
+    ``ml_fused_chunk`` with a leading batch axis and norms2 (4, B)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, nx, ny = u.shape
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    uspec = pl.BlockSpec((1, L, nx, ny), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 2 * L, nx, ny), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    sspec = pl.BlockSpec((1, nx, ny), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct((4, B), u.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_ml_chunk_kernel_batched, count=int(count), L=L),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=[smem, uspec, qspec, sspec, uspec],
+        out_specs=[uspec, qspec, sspec, uspec, qspec, sspec, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, s, f)
+
+
 def _ml_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, s_hbm, f_hbm,
                       uo_hbm, qo_hbm, so_hbm, upo_hbm, qpo_hbm, spo_hbm,
                       norms_ref, us, qs, ss, fs, qps, sps, sem, *,
@@ -347,14 +415,104 @@ def _ml_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, s_hbm, f_hbm,
     ])
 
 
+def _ml_banded_db_kernel(scal_ref, off_ref, u_hbm, q_hbm, s_hbm, f_hbm,
+                         uo_hbm, qo_hbm, so_hbm, upo_hbm, qpo_hbm, spo_hbm,
+                         norms_ref, us2, qs2, ss2, fs2, qps2, sps2,
+                         in_sem, out_sem, *,
+                         count: int, L: int, nx: int, rows: int, halo: int,
+                         own_lo: int, n_bands: int):
+    """DOUBLE-BUFFERED grid-banded multilabel chunk: the shared
+    `fused_rof.run_banded_db` pipeline around `_ml_chunk_core` (band
+    i+1's window fetch and band i-1's writeback overlap band i's
+    compute; ~2x the window scratch)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_rof import run_banded_db
+
+    i = pl.program_id(0)
+    ext = us2.shape[2]
+    nin = u_hbm.shape[-2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+
+    def geom(j):
+        start8 = jnp.clip(o8 + j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (o8 + j * r8 - start8)
+
+    def in_copies(j, buf):
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, ext)], us2.at[buf], sem),
+            pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(start, ext)], qs2.at[buf], sem),
+            pltpu.make_async_copy(
+                s_hbm.at[pl.ds(start, ext)], ss2.at[buf], sem),
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(start, ext)], fs2.at[buf], sem),
+        ]
+
+    def out_copies(j, buf):
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                us2.at[buf, :, pl.ds(own_w, rows)],
+                uo_hbm.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qs2.at[buf, :, pl.ds(own_w, rows)],
+                qo_hbm.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                ss2.at[buf, pl.ds(own_w, rows)],
+                so_hbm.at[pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                fs2.at[buf, :, pl.ds(own_w, rows)],
+                upo_hbm.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qps2.at[buf, :, pl.ds(own_w, rows)],
+                qpo_hbm.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                sps2.at[buf, pl.ds(own_w, rows)],
+                spo_hbm.at[pl.ds(lo, rows)], sem),
+        ]
+
+    def compute(p):
+        start, own_w = geom(i)
+        halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
+        new, prev, norms = _ml_chunk_core(
+            scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
+            scal_ref[4], us2[p], qs2[p], ss2[p], fs2[p], count, L,
+            halo_ctx=halo_ctx)
+        u2, qx2, qy2, s2 = new
+        up, qxp, qyp, sp = prev
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+        us2[p] = u2
+        qs2[p, 0:L] = qx2
+        qs2[p, L:] = qy2
+        ss2[p] = s2
+        fs2[p] = up
+        qps2[p, 0:L] = qxp
+        qps2[p, L:] = qyp
+        sps2[p] = sp
+
+    run_banded_db(i, n_bands, in_copies, out_copies, compute)
+
+
 def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
                           count, n_bands: int, interpret: bool = False,
                           own_lo: int = 0, out_rows: int | None = None,
-                          nx_global=None, row_offset0=None):
+                          nx_global=None, row_offset0=None,
+                          double_buffer: bool = False):
     """``count`` fused iterations with the planes split into ``n_bands``
     row bands inside ONE kernel.  Same returns as ``ml_fused_chunk``.
     (own_lo, out_rows, nx_global, row_offset0) band a halo-extended
-    shard block instead (see fused_rof.rof_fused_chunk_banded)."""
+    shard block instead (see fused_rof.rof_fused_chunk_banded);
+    ``double_buffer`` overlaps window DMA with compute at ~2x the
+    window scratch."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -383,20 +541,36 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
         jax.ShapeDtypeStruct((4, n_bands), u.dtype),
     ]
     dt = u.dtype
-    outs = pl.pallas_call(
-        partial(_ml_banded_kernel, count=int(count), L=L,
-                nx=int(nx_global), rows=rows, halo=halo,
-                own_lo=int(own_lo)),
-        grid=(n_bands,),
-        out_shape=out_shape,
-        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
-        out_specs=[hbm] * 6 + [smem],
-        scratch_shapes=[
+    if double_buffer:
+        kern = partial(_ml_banded_db_kernel, count=int(count), L=L,
+                       nx=int(nx_global), rows=rows, halo=halo,
+                       own_lo=int(own_lo), n_bands=n_bands)
+        scratch = [
+            pltpu.VMEM((2, L, ext, ny), dt),
+            pltpu.VMEM((2, 2 * L, ext, ny), dt),
+            pltpu.VMEM((2, ext, ny), dt),
+            pltpu.VMEM((2, L, ext, ny), dt),
+            pltpu.VMEM((2, 2 * L, ext, ny), dt),
+            pltpu.VMEM((2, ext, ny), dt),
+            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = partial(_ml_banded_kernel, count=int(count), L=L,
+                       nx=int(nx_global), rows=rows, halo=halo,
+                       own_lo=int(own_lo))
+        scratch = [
             pltpu.VMEM((L, ext, ny), dt), pltpu.VMEM((2 * L, ext, ny), dt),
             pltpu.VMEM((ext, ny), dt), pltpu.VMEM((L, ext, ny), dt),
             pltpu.VMEM((2 * L, ext, ny), dt), pltpu.VMEM((ext, ny), dt),
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
+        out_specs=[hbm] * 6 + [smem],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -457,17 +631,20 @@ def ml_fits_vmem(nx: int, ny: int, L: int, itemsize: int = 4) -> bool:
 
 
 def ml_band_count(nx: int, ny: int, L: int, residual_iter: int,
-                  itemsize: int = 4):
+                  itemsize: int = 4, double_buffer: bool = False):
     """Row-band tiling factor (cf. fused_rof.band_count): smallest divisor
     of nx whose halo-extended band keeps the ~(15L + 5) live label-planes
     under the VMEM limit; 1 = whole plane, None = no efficient tiling.
+    ``double_buffer`` sizes for the DB kernel's doubled window scratch
+    (~+8L + 2 planes).
 
     Don't be tempted to prefer wider bands for less halo recompute: at
     512x512x8/ri=10, nb=2 measured SLOWER than this function's nb=4
     (668 vs 630 us/chunk) — VMEM pressure beats the halo saving."""
     from .fused_rof import band_count
 
-    return band_count(nx, ny, residual_iter, n_planes=15 * L + 5,
+    n_planes = (23 * L + 7) if double_buffer else (15 * L + 5)
+    return band_count(nx, ny, residual_iter, n_planes=n_planes,
                       itemsize=itemsize)
 
 
@@ -567,9 +744,11 @@ def match_multilabel_structure(problem):
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9), donate_argnums=(13,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(14,))
 def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
-                  interpret, tols, f_planes, radius, d_s, state, until):
+                  double_buffer, interpret, tols, f_planes, radius, d_s,
+                  state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
     generic tail."""
@@ -588,10 +767,15 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
     def fused_chunk(carry):
         # the chunk loop carries PLANES (packed once, below) — the
         # per-chunk y slice/concat glue costs real HBM copies (round 3,
-        # cf. fused_deblur's measured ~40%)
+        # cf. fused_deblur's measured ~40%).  Footprint note: the stale
+        # flat vectors (s.x, s.y, prevs) stay live alongside the carried
+        # plane copies for the whole phase; roughly doubled solver-state
+        # HBM residency, accepted — HBM is ~16 GB against <=1 GB of
+        # state at the largest benched sizes (ADVICE r3)
         s, (u, q, sm, _up, _qp, _sp) = carry
         chunk = (ml_fused_chunk if n_bands == 1
-                 else partial(ml_fused_chunk_banded, n_bands=n_bands))
+                 else partial(ml_fused_chunk_banded, n_bands=n_bands,
+                              double_buffer=double_buffer))
         u2, q2, s2, up, qp, sp, norms2 = chunk(
             u, q, sm, f_planes, s.tau, s.sigma, s.theta, radius, d_s,
             ri, interpret=interpret)

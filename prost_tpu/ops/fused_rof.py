@@ -70,6 +70,12 @@ _VMEM_LIMIT = 96 * 1024 * 1024
 _SQRT_S = 0.7071067811865476  # sqrt(Sigma) = sqrt(1/2)
 _SQRT_T = 0.5                 # sqrt(Tau)   = sqrt(1/4)
 
+# chunks per multi-chunk launch (in-kernel adaptation between chunks):
+# amortizes per-launch dispatch + whole-state HBM in/out by this factor;
+# convergence granularity stays one chunk (post-convergence chunks are
+# branched around in-kernel)
+_K_CHUNKS = 8
+
 
 def _shift_ops(shape, roll, row_offset=None, nx_global=None):
     """Forward-difference / adjoint stencils via native roll + iota masks
@@ -161,7 +167,8 @@ def _rof_update(x, qx, qy, gx, gy, dt0, dt1, tau, sig_p, sig_t, radius, ops,
 
 
 def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
-                count: int, dataterm: str, halo_ctx=None):
+                count: int, dataterm: str, halo_ctx=None, g0=None,
+                return_g=False):
     """The math of one residual_iter-sized chunk on VMEM-resident planes:
     ``count - 1`` plain iterations, then the aligned iteration with its
     four preconditioned residual norms (squared).  Shared by the
@@ -172,7 +179,13 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
     restricted to the shard's owned local rows [own_lo, own_hi) so a
     cross-shard psum reproduces the global norms exactly.
 
-    Returns (x2, qx2, qy2, x_prev, qx_prev, qy_prev, (n0, n1, n2, n3)).
+    ``g0`` optionally seeds the carried gradient planes with grad(x0)
+    computed by a previous chunk (the aligned iteration's grad(x2) IS the
+    next chunk's seed), saving the 2 seed stencils; ``return_g=True``
+    appends grad(x2) to the returns for that carry.
+
+    Returns (x2, qx2, qy2, x_prev, qx_prev, qy_prev, (n0, n1, n2, n3)
+    [, (gx2, gy2)]).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -202,8 +215,9 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
             dataterm)
         return x, qx, qy, gx, gy
 
+    gx0, gy0 = (_dx(x0), _dy(x0)) if g0 is None else g0
     x, qx, qy, gxp, gyp = lax.fori_loop(
-        0, count - 1, body, (x0, qx0, qy0, _dx(x0), _dy(x0)))
+        0, count - 1, body, (x0, qx0, qy0, gx0, gy0))
 
     # aligned iteration; (gxp, gyp) is grad(x_prev) carried for free
     x2, qx2, qy2, gx2, gy2, ktyp = _rof_update(
@@ -225,7 +239,176 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
         nsum(dd * dd),
         nsum(wh * wh),
     )
+    if return_g:
+        return x2, qx2, qy2, x, qx, qy, norms, (gx2, gy2)
     return x2, qx2, qy2, x, qx, qy, norms
+
+
+def adapt_scalars(stepsize: str, consts, tols4, it, tau, sigma, arg_alpha,
+                  arb_l, arb_u, pr, pn, dr, dn):
+    """In-kernel mirror of ``backend.pdhg.residual_and_adapt``'s scalar
+    math (backend_pdhg.cu:443-476): same operations in the same order on
+    f32 scalars, so a multi-chunk kernel that adapts in SMEM follows the
+    exact trajectory of the launch-per-chunk path.  ``consts`` =
+    (sqrt_nrows, sqrt_ncols, arg_delta, arg_nu, arb_delta, arb_tau) are
+    compile-time floats; ``tols4`` and ``it`` (the pre-increment counter
+    of the residual iteration, as f32) are traced.
+
+    Returns (tau, sigma, arg_alpha, arb_l, arb_u, converged)."""
+    trp, trd, tap, tad = tols4
+    sqrt_nrows, sqrt_ncols, arg_delta, arg_nu, arb_delta, arb_tau = consts
+    eps_pri = sqrt_nrows * tap + trp * pn
+    eps_dua = sqrt_ncols * tad + trd * dn
+    conv = (pr < eps_pri) & (dr < eps_dua)
+    if stepsize == "goldstein":
+        scale = eps_dua / eps_pri
+        up = dr > scale * pr * arg_delta
+        dn_ = dr < scale * pr / arg_delta
+        fac = 1.0 - arg_alpha
+        tau = jnp.where(up, tau / fac, jnp.where(dn_, tau * fac, tau))
+        sigma = jnp.where(up, sigma * fac,
+                          jnp.where(dn_, sigma / fac, sigma))
+        arg_alpha = jnp.where(up | dn_, arg_alpha * arg_nu, arg_alpha)
+    elif stepsize == "boyd":
+        c1 = (dr < eps_dua) & (arb_tau * it > arb_l)
+        c2 = (pr < eps_pri) & (arb_tau * it > arb_u) & ~c1
+        tau = jnp.where(c1, tau / arb_delta,
+                        jnp.where(c2, tau * arb_delta, tau))
+        sigma = jnp.where(c1, sigma * arb_delta,
+                          jnp.where(c2, sigma / arb_delta, sigma))
+        arb_u = jnp.where(c1, it, arb_u)
+        arb_l = jnp.where(c2, it, arb_l)
+    return tau, sigma, arg_alpha, arb_l, arb_u, conv
+
+
+def pdhg_adapt_consts(problem, opts) -> tuple:
+    """The compile-time constant tuple for ``adapt_scalars``."""
+    import math
+
+    return (math.sqrt(float(problem.nrows)), math.sqrt(float(problem.ncols)),
+            float(opts.arg_delta), float(opts.arg_nu),
+            float(opts.arb_delta), float(opts.arb_tau))
+
+
+def _rof_multichunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
+                           xo_ref, qo_ref, xpo_ref, qpo_ref, norms_ref,
+                           sout_ref, *, count: int, k_chunks: int,
+                           dataterm: str, stepsize: str, consts):
+    """``k_chunks`` whole residual_iter-sized chunks in ONE kernel, with
+    the boyd/goldstein step-size adaptation and the convergence test run
+    IN-KERNEL between chunks (``adapt_scalars``): one launch advances up
+    to k_chunks * count iterations while the state stays VMEM-resident
+    the whole time — amortizing both the per-launch dispatch and the
+    whole-state HBM in/out that capped the launch-per-chunk path at ~65%
+    of the kernel-only rate (PERFORMANCE.md round 3).
+
+    Chunks after the convergence point are skipped via lax.cond (their
+    compute is branched around, not masked).  The gradient planes carry
+    ACROSS chunks (the aligned iteration's grad(x2) seeds the next
+    chunk), saving the 2 per-chunk seed stencils of the single-chunk
+    kernel.
+
+    scal_ref (SMEM, 13): [tau, sigma, theta, lmb, radius, arg_alpha,
+    arb_l, arb_u, it0, tol_rel_p, tol_rel_d, tol_abs_p, tol_abs_d].
+    norms_ref (SMEM out, 4): the LAST EXECUTED chunk's four
+    preconditioned residual norms (sqrt'd, unlike the single-chunk
+    kernel's squared norms).  sout_ref (SMEM out, 7): [tau, sigma,
+    arg_alpha, arb_l, arb_u, converged, chunks_done].
+    """
+    theta = scal_ref[2]
+    lmb = scal_ref[3]
+    radius = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+    f = f_ref[...]
+    w = w_ref[...]
+    q = q_ref[...]
+    x0 = x_ref[...]
+    zero = jnp.zeros((), x0.dtype)
+
+    def chunk(c, carry):
+        planes, scal, norms = carry
+        tau, sigma, arg_alpha, arb_l, arb_u, conv, done = scal
+
+        def run(t):
+            planes_t, scal_t, _ = t
+            x, qx, qy, _, _, _, gx, gy = planes_t
+            tau_t, sigma_t, aa_t, al_t, au_t, _, done_t = scal_t
+            x2, qx2, qy2, xpn, qxpn, qypn, nrm, g2 = _chunk_core(
+                tau_t, sigma_t, theta, lmb, radius, x, qx, qy, f, w,
+                count, dataterm, g0=(gx, gy), return_g=True)
+            pr = jnp.sqrt(nrm[0])
+            pn_ = jnp.sqrt(nrm[1])
+            dr = jnp.sqrt(nrm[2])
+            dn_ = jnp.sqrt(nrm[3])
+            it = it0 + ((c + 1) * count - 1).astype(x0.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, tau_t, sigma_t, aa_t,
+                al_t, au_t, pr, pn_, dr, dn_)
+            return ((x2, qx2, qy2, xpn, qxpn, qypn, g2[0], g2[1]),
+                    (tau2, sigma2, aa2, al2, au2, cv, done_t + 1.0),
+                    (pr, pn_, dr, dn_))
+
+        return lax.cond(conv, lambda t: t, run, carry)
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops = _shift_ops(f.shape, pltpu.roll)
+    gx0, gy0 = ops[0](x0), ops[1](x0)
+    init = (
+        (x0, q[0], q[1], x0, q[0], q[1], gx0, gy0),
+        (scal_ref[0], scal_ref[1], scal_ref[5], scal_ref[6], scal_ref[7],
+         jnp.asarray(False), zero),
+        (zero, zero, zero, zero),
+    )
+    planes, scal, norms = lax.fori_loop(0, k_chunks, chunk, init)
+    x2, qx2, qy2, xp, qxp, qyp, _, _ = planes
+    tau, sigma, arg_alpha, arb_l, arb_u, conv, done = scal
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    for i, v in enumerate((tau, sigma, arg_alpha, arb_l, arb_u,
+                           conv.astype(x0.dtype), done)):
+        sout_ref[i] = v
+    xo_ref[...] = x2
+    qo_ref[0] = qx2
+    qo_ref[1] = qy2
+    xpo_ref[...] = xp
+    qpo_ref[0] = qxp
+    qpo_ref[1] = qyp
+
+
+def rof_fused_multichunk(x, q, f, w, scal13, count, k_chunks,
+                         dataterm: str, stepsize: str, consts,
+                         interpret: bool = False):
+    """Up to ``k_chunks * count`` fused iterations in ONE kernel with
+    in-kernel adaptation/convergence.  ``scal13`` is the length-13 SMEM
+    vector documented on ``_rof_multichunk_kernel``.  Returns
+    (x2, q2, x_prev, q_prev, norms, sout) — norms are the last executed
+    chunk's (sqrt'd) residual norms, sout the 7 updated scalars."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x2
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q2
+        jax.ShapeDtypeStruct(x.shape, x.dtype),   # x_prev
+        jax.ShapeDtypeStruct(q.shape, q.dtype),   # q_prev
+        jax.ShapeDtypeStruct((4,), x.dtype),      # norms (last chunk)
+        jax.ShapeDtypeStruct((7,), x.dtype),      # scalars out
+    ]
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_specs = _plane_specs(4) + [smem, smem]
+    return pl.pallas_call(
+        partial(_rof_multichunk_kernel, count=int(count),
+                k_chunks=int(k_chunks), dataterm=dataterm,
+                stepsize=stepsize, consts=consts),
+        out_shape=out_shape,
+        in_specs=[smem] + _plane_specs(4),
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, x, q, f, w)
 
 
 def _rof_chunk_kernel(scal_ref, x_ref, q_ref, f_ref, w_ref,
@@ -601,6 +784,52 @@ def _rof_banded_kernel(scal_ref, off_ref, x_hbm, q_hbm, f_hbm, w_hbm,
         (ws.at[pl.ds(own_w, rows)], xat(xpo_hbm, pl.ds(lo, rows))),
         (qps.at[:, pl.ds(own_w, rows)], qat(qpo_hbm, pl.ds(lo, rows))),
     ])
+
+
+def run_banded_db(i, n_bands: int, in_copies, out_copies, compute):
+    """The shared DOUBLE-BUFFERED cross-grid-step band pipeline: band
+    i+1's halo-window fetch and band i-1's owned-row writeback overlap
+    band i's compute.  ``in_copies(j, buf)`` / ``out_copies(j, buf)``
+    build the copy descriptor lists for band j into/out of ping-pong
+    buffer ``buf``; copies started at grid step i are waited at step i+1
+    by RECONSTRUCTING the same descriptors (the standard Mosaic
+    pattern — descriptors don't persist across grid steps, semaphore
+    state does).  ``compute(p)`` runs the band's math on buffer p and
+    stages its results there.  Used by the multilabel/tight/deblur/vol
+    double-buffered banded kernels (the ROF/ADMM ones predate this
+    helper and inline the same sequence)."""
+    from jax.experimental import pallas as pl
+
+    p = lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _():
+        for c in in_copies(0, p):
+            c.start()
+
+    for c in in_copies(i, p):
+        c.wait()
+
+    # free the other buffer (band i-1's writeback), then prefetch i+1
+    @pl.when(i >= 1)
+    def _():
+        for c in out_copies(i - 1, 1 - p):
+            c.wait()
+
+    @pl.when(i + 1 < n_bands)
+    def _():
+        for c in in_copies(i + 1, 1 - p):
+            c.start()
+
+    compute(p)
+
+    for c in out_copies(i, p):
+        c.start()
+
+    @pl.when(i == n_bands - 1)
+    def _():
+        for c in out_copies(i, p):
+            c.wait()
 
 
 def _rof_banded_db_kernel(scal_ref, off_ref, x_hbm, q_hbm, f_hbm, w_hbm,
@@ -1044,6 +1273,12 @@ class FusedROFPDHG(BackendPDHG):
                     self.ml = None
                 else:
                     self.ml["n_bands"] = nb
+                    # double-buffered window DMA only when its bigger
+                    # footprint keeps the same band count (ROF guard)
+                    self.ml["double_buffer"] = nb > 1 and nb == \
+                        ml_band_count(self.ml["nx"], self.ml["ny"],
+                                      self.ml["L"], opts.residual_iter,
+                                      double_buffer=True)
         if usable and self.rof is None and self.ml is None:
             from .fused_deblur import (deblur_band_count,
                                        match_deblur_structure)
@@ -1071,6 +1306,11 @@ class FusedROFPDHG(BackendPDHG):
                     self.tight = None
                 else:
                     self.tight["n_bands"] = nb
+                    self.tight["double_buffer"] = nb > 1 and nb == \
+                        tight_band_count(
+                            self.tight["nx"], self.tight["ny"],
+                            self.tight["L"], self.tight["k"],
+                            opts.residual_iter, double_buffer=True)
         self.vol = None
         if usable and not (self.rof or self.ml or self.deblur
                            or self.tight):
@@ -1085,6 +1325,10 @@ class FusedROFPDHG(BackendPDHG):
                     self.vol = None
                 else:
                     self.vol["n_bands"] = nb
+                    self.vol["double_buffer"] = nb > 1 and nb == \
+                        vol_band_count(
+                            self.vol["L"], self.vol["nx"], self.vol["ny"],
+                            opts.residual_iter, double_buffer=True)
         if ((self.rof or self.ml or self.deblur or self.tight or self.vol)
                 and self.solver_opts.verbose):
             kind = ("ROF" if self.rof
@@ -1116,7 +1360,8 @@ class FusedROFPDHG(BackendPDHG):
                 m = self.ml
                 return _fused_ml_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
-                    m["nx"], m["ny"], m["L"], m["n_bands"], self.interpret,
+                    m["nx"], m["ny"], m["L"], m["n_bands"],
+                    m.get("double_buffer", False), self.interpret,
                     tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
                     jnp.asarray(m["d_s"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1141,7 +1386,8 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_tight_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     t["nx"], t["ny"], t["L"], t["k"],
-                    (t["taps"], t["consts"]), t["n_bands"], self.interpret,
+                    (t["taps"], t["consts"]), t["n_bands"],
+                    t.get("double_buffer", False), self.interpret,
                     tols, t["f"],
                     (jnp.asarray(t["radius"], jnp.float32),
                      jnp.asarray(t["d_s"], jnp.float32)),
@@ -1154,7 +1400,8 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_vol_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     v["L"], v["nx"], v["ny"], v["lmb"], v["dataterm"],
-                    v["n_bands"], self.interpret,
+                    v["n_bands"], v.get("double_buffer", False),
+                    self.interpret,
                     tols, v["f"], v["w"],
                     jnp.asarray(v["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1191,6 +1438,12 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
     The iteration/residual/adaptation schedule is identical to the plain
     ``lax.while_loop`` over ``pdhg_step``: residuals at iterations
     0, ri, 2ri, ... computed from the same finite-difference formulas.
+
+    Whole-plane problems get an extra phase B0 first: MULTI-CHUNK
+    launches (``rof_fused_multichunk``) advancing ``_K_CHUNKS`` chunks
+    per kernel call with the adaptation/convergence scalar math run
+    in-kernel — same trajectory, 1/_K_CHUNKS the dispatch and HBM
+    state-in/out cost.
     """
     ri = max(int(opts.residual_iter), 1)
 
@@ -1225,6 +1478,34 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
         )
         return dataclasses.replace(s, iteration=s.iteration + ri)
 
+    def multi_chunk(s: PDHGState) -> PDHGState:
+        x = s.x.reshape(nx, ny)
+        q = s.y.reshape(2, nx, ny)
+        dt = x.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, dt), jnp.asarray(radius, dt),
+            s.arg_alpha, s.arb_l, s.arb_u,
+            s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        x2, q2, xp, qp, norms, sc = rof_fused_multichunk(
+            x, q, f_plane, w_plane, scal13, ri, _K_CHUNKS, dataterm,
+            opts.stepsize, pdhg_adapt_consts(problem, opts),
+            interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        return dataclasses.replace(
+            s,
+            x=x2.reshape(-1), y=q2.reshape(-1),
+            x_prev=xp.reshape(-1), y_prev=qp.reshape(-1),
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+
     # phase A: align so chunks END on the residual grid (iteration % ri==0);
     # a no-op for ri == 1, where every iteration is a residual iteration
     align = 1 % ri
@@ -1233,6 +1514,14 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
         return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # phase B0 (whole-plane only): multi-chunk launches with in-kernel
+    # adaptation — _K_CHUNKS * ri iterations per kernel call
+    if n_bands == 1:
+        def cond_b0(s):
+            return (s.iteration + _K_CHUNKS * ri <= until) & ~s.converged
+
+        state = lax.while_loop(cond_b0, multi_chunk, state)
 
     # phase B: fused chunks of exactly ri iterations
     def cond_b(s):

@@ -322,15 +322,87 @@ def _tight_banded_kernel(scal_ref, off_ref, u_hbm, v_hbm, q_hbm, p_hbm,
     ])
 
 
+def _tight_banded_db_kernel(scal_ref, off_ref, u_hbm, v_hbm, q_hbm, p_hbm,
+                            s_hbm, f_hbm,
+                            uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,
+                            norms_ref, us2, vs2, qs2, ps2, ss2, fs2,
+                            vps2, qps2, pps2, sps2, in_sem, out_sem, *,
+                            count: int, L: int, k: int, taps, consts,
+                            nx: int, rows: int, halo: int, own_lo: int,
+                            n_bands: int):
+    """DOUBLE-BUFFERED grid-banded tight chunk: the shared
+    `fused_rof.run_banded_db` pipeline around `_chunk_core`."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_rof import run_banded_db
+
+    i = pl.program_id(0)
+    ext = us2.shape[2]
+    nin = u_hbm.shape[-2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo // 8
+
+    def geom(j):
+        start8 = jnp.clip(o8 + j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (o8 + j * r8 - start8)
+
+    in_pairs = ((u_hbm, us2), (v_hbm, vs2), (q_hbm, qs2), (p_hbm, ps2),
+                (f_hbm, fs2))
+
+    def in_copies(j, buf):
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        cs = [pltpu.make_async_copy(
+            h.at[:, pl.ds(start, ext)], sc.at[buf], sem)
+            for h, sc in in_pairs]
+        cs.append(pltpu.make_async_copy(
+            s_hbm.at[pl.ds(start, ext)], ss2.at[buf], sem))
+        return cs
+
+    def out_copies(j, buf):
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        pairs = ((us2, uo), (vs2, vo), (qs2, qo), (ps2, po),
+                 (fs2, upo), (vps2, vpo), (qps2, qpo), (pps2, ppo))
+        cs = [pltpu.make_async_copy(
+            sc.at[buf, :, pl.ds(own_w, rows)],
+            h.at[:, pl.ds(lo, rows)], sem) for sc, h in pairs]
+        cs += [pltpu.make_async_copy(
+            sc.at[buf, pl.ds(own_w, rows)],
+            h.at[pl.ds(lo, rows)], sem)
+            for sc, h in ((ss2, so), (sps2, spo))]
+        return cs
+
+    def compute(p_):
+        start, own_w = geom(i)
+        halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
+        new, prev, norms = _chunk_core(
+            scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
+            scal_ref[4], us2[p_], vs2[p_], qs2[p_], ps2[p_], ss2[p_],
+            fs2[p_], count, L, k, taps, consts, pltpu.roll,
+            halo_ctx=halo_ctx)
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+        for ref, val in zip((us2, vs2, qs2, ps2, ss2), new):
+            ref[p_] = val
+        for ref, val in zip((fs2, vps2, qps2, pps2, sps2), prev):
+            ref[p_] = val
+
+    run_banded_db(i, n_bands, in_copies, out_copies, compute)
+
+
 def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
                              d_s, count, taps, consts, n_bands: int,
                              interpret: bool = False, own_lo: int = 0,
                              out_rows: int | None = None, nx_global=None,
-                             row_offset0=None):
+                             row_offset0=None, double_buffer: bool = False):
     """``count`` fused iterations with the planes split into ``n_bands``
     row bands inside ONE kernel.  Same returns as ``tight_fused_chunk``.
     (own_lo, out_rows, nx_global, row_offset0) band a halo-extended
-    shard block instead (see fused_rof.rof_fused_chunk_banded)."""
+    shard block instead (see fused_rof.rof_fused_chunk_banded);
+    ``double_buffer`` overlaps window DMA with compute."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
@@ -360,22 +432,38 @@ def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), u.dtype))
     dt = u.dtype
     vm = pltpu.VMEM
-    outs = pl.pallas_call(
-        partial(_tight_banded_kernel, count=int(count), L=L, k=k,
-                taps=taps, consts=consts, nx=int(nx_global), rows=rows,
-                halo=halo, own_lo=int(own_lo)),
-        grid=(n_bands,),
-        out_shape=out_shape,
-        in_specs=[smem, smem] + [hbm] * 6,
-        out_specs=[hbm] * 10 + [smem],
-        scratch_shapes=[
+    if double_buffer:
+        kern = partial(_tight_banded_db_kernel, count=int(count), L=L,
+                       k=k, taps=taps, consts=consts, nx=int(nx_global),
+                       rows=rows, halo=halo, own_lo=int(own_lo),
+                       n_bands=n_bands)
+        scratch = [
+            vm((2, L, ext, ny), dt), vm((2, 2 * k, ext, ny), dt),
+            vm((2, 2 * L, ext, ny), dt), vm((2, 2 * k, ext, ny), dt),
+            vm((2, ext, ny), dt), vm((2, L, ext, ny), dt),
+            vm((2, 2 * k, ext, ny), dt), vm((2, 2 * L, ext, ny), dt),
+            vm((2, 2 * k, ext, ny), dt), vm((2, ext, ny), dt),
+            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = partial(_tight_banded_kernel, count=int(count), L=L, k=k,
+                       taps=taps, consts=consts, nx=int(nx_global),
+                       rows=rows, halo=halo, own_lo=int(own_lo))
+        scratch = [
             vm((L, ext, ny), dt), vm((2 * k, ext, ny), dt),
             vm((2 * L, ext, ny), dt), vm((2 * k, ext, ny), dt),
             vm((ext, ny), dt), vm((L, ext, ny), dt),
             vm((2 * k, ext, ny), dt), vm((2 * L, ext, ny), dt),
             vm((2 * k, ext, ny), dt), vm((ext, ny), dt),
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem, smem] + [hbm] * 6,
+        out_specs=[hbm] * 10 + [smem],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(scal, off, u, v, q, p, s, f)
@@ -435,13 +523,17 @@ def tight_fits_vmem(nx, ny, L, k, itemsize: int = 4) -> bool:
     return (10 * L + 14 * k + 8) * nx * ny * itemsize <= _VMEM_LIMIT
 
 
-def tight_band_count(nx, ny, L, k, residual_iter, itemsize: int = 4):
+def tight_band_count(nx, ny, L, k, residual_iter, itemsize: int = 4,
+                     double_buffer: bool = False):
     """Row-band tiling factor (cf. fused_rof.band_count); 1 = whole
-    plane, None = no efficient tiling."""
+    plane, None = no efficient tiling.  ``double_buffer`` sizes for the
+    DB kernel's doubled window scratch."""
     from .fused_rof import band_count
 
-    return band_count(nx, ny, residual_iter,
-                      n_planes=10 * L + 14 * k + 8, itemsize=itemsize)
+    n_planes = ((16 * L + 22 * k + 11) if double_buffer
+                else (10 * L + 14 * k + 8))
+    return band_count(nx, ny, residual_iter, n_planes=n_planes,
+                      itemsize=itemsize)
 
 
 def _segment_const(arr):
@@ -574,10 +666,10 @@ def match_tight_structure(problem):
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(14,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(15,))
 def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
-                     taps_consts, n_bands, interpret,
+                     taps_consts, n_bands, double_buffer, interpret,
                      tols, f_planes, scal_extra, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
@@ -614,7 +706,7 @@ def _fused_tight_run(problem, prox_g, prox_fstar, opts, nx, ny, L, k,
             new, prev, norms2 = tight_fused_chunk_banded(
                 u, v, q, p, sm, f_planes, st.tau, st.sigma, st.theta,
                 radius, d_s, ri, taps, consts, n_bands,
-                interpret=interpret)
+                interpret=interpret, double_buffer=double_buffer)
         norms = jnp.sqrt(norms2)
         st = residual_and_adapt(
             problem, opts, tols, st,

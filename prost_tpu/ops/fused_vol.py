@@ -182,11 +182,22 @@ def _vol_chunk_core(tau_raw, sigma_raw, theta, lmb, radius, u0, q0, f, w,
 
 def _vol_chunk_kernel(scal_ref, u_ref, q_ref, f_ref, w_ref,
                       uo_ref, qo_ref, upo_ref, qpo_ref, norms_ref, *,
-                      count: int, dataterm: str):
+                      count: int, dataterm: str, halo: bool = False,
+                      nx_global: int = 0):
+    """Whole-block chunk kernel; with ``halo`` the refs are one shard's
+    halo-EXTENDED volume block, scal_ref carries three extra entries
+    [row_offset, own_lo, own_hi] (per-shard integers as floats), and the
+    SMEM norms cover only the owned rows (cf. fused_rof's halo kernel)."""
+    halo_ctx = None
+    if halo:
+        halo_ctx = (scal_ref[5].astype(jnp.int32), nx_global,
+                    scal_ref[6].astype(jnp.int32),
+                    scal_ref[7].astype(jnp.int32))
     q = q_ref[...]
     u2, q2, up, qp, norms = _vol_chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
-        u_ref[...], q, f_ref[...], w_ref[...], count, dataterm)
+        u_ref[...], q, f_ref[...], w_ref[...], count, dataterm,
+        halo_ctx=halo_ctx)
     for i in range(4):
         norms_ref[i] = norms[i]
     uo_ref[...] = u2
@@ -224,25 +235,63 @@ def vol_fused_chunk(u, q, f, w, tau, sigma, theta, lmb, radius, count,
     )(scal, u, q, f, w)
 
 
-def _vol_banded_kernel(scal_ref, u_hbm, q_hbm, f_hbm, w_hbm,
+def vol_fused_chunk_halo(u, q, f, w, scal8, count, nx_global,
+                         dataterm: str = "square",
+                         interpret: bool = False):
+    """``count`` fused iterations on one halo-extended shard block of a
+    row-partitioned volume.  u/f/w are (L, nxb, ny), q (3, L, nxb, ny);
+    scal8 = [tau, sigma, theta, lmb, radius, row_offset, own_lo, own_hi].
+    Returns (u2, q2, u_prev, q_prev, norms2) with norms2 covering owned
+    rows only."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4,), u.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_vol_chunk_kernel, count=int(count), dataterm=dataterm,
+                halo=True, nx_global=int(nx_global)),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 4,
+        out_specs=[plane] * 4 + [smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal8, u, q, f, w)
+
+
+def _vol_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, f_hbm, w_hbm,
                        uo, qo, upo, qpo, norms_ref,
                        us, qs, fs, ws, qps, sem, *,
                        count: int, nx: int, rows: int, halo: int,
-                       dataterm: str):
+                       dataterm: str, own_lo0: int):
     """Grid-banded volumetric chunk: bands over the nx axis (dim 1 of the
     (L, nx, ny) volume), clamped halo-extended window DMAs, owned rows out
     at global offsets — same discipline as fused_rof._rof_banded_kernel
     (memory_space=ANY in AND out; 8*(...)-constructed offsets; hardware
-    verification mandatory after changes, tools/tpu_verify.py)."""
+    verification mandatory after changes, tools/tpu_verify.py).
+    ``off_ref`` (SMEM int32) holds the GLOBAL row of input row 0 and
+    static ``own_lo0`` the owned region's offset inside the input block —
+    both zero for plain banding, nonzero when banding WITHIN a
+    halo-extended shard block (cf. fused_rof._rof_banded_kernel)."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     i = pl.program_id(0)
     ext = us.shape[1]
-    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
-    start8 = jnp.clip(i * r8 - h8, 0, n8 - e8)
+    nin = u_hbm.shape[-2]  # input block height (== nx unless sharded)
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo0 // 8
+    start8 = jnp.clip(o8 + i * r8 - h8, 0, n8 - e8)
     start = 8 * start8
-    own_lo = 8 * (i * r8 - start8)
+    own_lo = 8 * (o8 + i * r8 - start8)
 
     def copies(pairs):
         cs = [pltpu.make_async_copy(src, dst, sem) for src, dst in pairs]
@@ -260,7 +309,7 @@ def _vol_banded_kernel(scal_ref, u_hbm, q_hbm, f_hbm, w_hbm,
         fetches.append((w_hbm.at[:, pl.ds(start, ext)], ws))
     copies(fetches)
 
-    halo_ctx = (start, nx, own_lo, own_lo + rows)
+    halo_ctx = (off_ref[0] + start, nx, own_lo, own_lo + rows)
     u2, q2, up, qp, norms = _vol_chunk_core(
         scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
         us[...], qs[...], fs[...], ws[...], count, dataterm,
@@ -282,50 +331,150 @@ def _vol_banded_kernel(scal_ref, u_hbm, q_hbm, f_hbm, w_hbm,
     ])
 
 
-def vol_fused_chunk_banded(u, q, f, w, tau, sigma, theta, lmb, radius,
-                           count, n_bands: int, dataterm: str = "square",
-                           interpret: bool = False):
-    """``count`` fused iterations with the volume split into ``n_bands``
-    nx-row bands inside ONE kernel.  Same returns as ``vol_fused_chunk``."""
+def _vol_banded_db_kernel(scal_ref, off_ref, u_hbm, q_hbm, f_hbm, w_hbm,
+                          uo, qo, upo, qpo, norms_ref,
+                          us2, qs2, fs2, ws2, qps2, in_sem, out_sem, *,
+                          count: int, nx: int, rows: int, halo: int,
+                          dataterm: str, own_lo0: int, n_bands: int):
+    """DOUBLE-BUFFERED grid-banded volumetric chunk: the shared
+    `fused_rof.run_banded_db` pipeline around `_vol_chunk_core`."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    L, nx, ny = u.shape
+    from .fused_rof import run_banded_db
+
+    i = pl.program_id(0)
+    ext = us2.shape[2]
+    nin = u_hbm.shape[-2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nin // 8
+    o8 = own_lo0 // 8
+
+    def geom(j):
+        start8 = jnp.clip(o8 + j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (o8 + j * r8 - start8)
+
+    def in_copies(j, buf):
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        cs = [
+            pltpu.make_async_copy(
+                u_hbm.at[:, pl.ds(start, ext)], us2.at[buf], sem),
+            pltpu.make_async_copy(
+                q_hbm.at[:, :, pl.ds(start, ext)], qs2.at[buf], sem),
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(start, ext)], fs2.at[buf], sem),
+        ]
+        if dataterm == "wsquare":
+            cs.append(pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(start, ext)], ws2.at[buf], sem))
+        return cs
+
+    def out_copies(j, buf):
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                us2.at[buf, :, pl.ds(own_w, rows)],
+                uo.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qs2.at[buf, :, :, pl.ds(own_w, rows)],
+                qo.at[:, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                ws2.at[buf, :, pl.ds(own_w, rows)],
+                upo.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qps2.at[buf, :, :, pl.ds(own_w, rows)],
+                qpo.at[:, :, pl.ds(lo, rows)], sem),
+        ]
+
+    def compute(p):
+        start, own_w = geom(i)
+        halo_ctx = (off_ref[0] + start, nx, own_w, own_w + rows)
+        u2, q2, up, qp, norms = _vol_chunk_core(
+            scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3],
+            scal_ref[4], us2[p], qs2[p], fs2[p], ws2[p], count, dataterm,
+            halo_ctx=halo_ctx)
+        for j in range(4):
+            norms_ref[j, i] = norms[j]
+        us2[p] = u2
+        qs2[p] = q2
+        ws2[p] = up
+        qps2[p] = qp
+
+    run_banded_db(i, n_bands, in_copies, out_copies, compute)
+
+
+def vol_fused_chunk_banded(u, q, f, w, tau, sigma, theta, lmb, radius,
+                           count, n_bands: int, dataterm: str = "square",
+                           interpret: bool = False, own_lo: int = 0,
+                           out_rows: int | None = None, nx_global=None,
+                           row_offset0=None, double_buffer: bool = False):
+    """``count`` fused iterations with the volume split into ``n_bands``
+    nx-row bands inside ONE kernel.  Same returns as ``vol_fused_chunk``.
+    (own_lo, out_rows, nx_global, row_offset0) band a halo-extended shard
+    block instead (cf. fused_rof.rof_fused_chunk_banded);
+    ``double_buffer`` overlaps window DMA with compute at ~2x the window
+    scratch."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nin, ny = u.shape
+    out_rows = nin if out_rows is None else out_rows
+    nx_global = nin if nx_global is None else nx_global
     halo = -(-(2 * int(count) + 2) // 8) * 8
-    rows = nx // n_bands
-    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
-    ext = min(rows + 2 * halo, nx)
+    rows = out_rows // n_bands
+    assert rows * n_bands == out_rows and rows % 8 == 0, (out_rows, n_bands)
+    assert own_lo % 8 == 0, own_lo
+    ext = min(rows + 2 * halo, nin)
 
     scal = jnp.stack([jnp.asarray(v, u.dtype)
                       for v in (tau, sigma, theta, lmb, radius)])
+    off = jnp.asarray(
+        [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out_shape = [
-        jax.ShapeDtypeStruct(u.shape, u.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
-        jax.ShapeDtypeStruct(u.shape, u.dtype),
-        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
+        jax.ShapeDtypeStruct((3, L, out_rows, ny), q.dtype),
+        jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
+        jax.ShapeDtypeStruct((3, L, out_rows, ny), q.dtype),
         jax.ShapeDtypeStruct((4, n_bands), u.dtype),
     ]
     dt = u.dtype
     vm = pltpu.VMEM
-    outs = pl.pallas_call(
-        partial(_vol_banded_kernel, count=int(count), nx=nx, rows=rows,
-                halo=halo, dataterm=dataterm),
-        grid=(n_bands,),
-        out_shape=out_shape,
-        in_specs=[smem, hbm, hbm, hbm, hbm],
-        out_specs=[hbm] * 4 + [smem],
-        scratch_shapes=[
+    if double_buffer:
+        kern = partial(_vol_banded_db_kernel, count=int(count),
+                       nx=int(nx_global), rows=rows, halo=halo,
+                       dataterm=dataterm, own_lo0=int(own_lo),
+                       n_bands=n_bands)
+        scratch = [
+            vm((2, L, ext, ny), dt), vm((2, 3, L, ext, ny), dt),
+            vm((2, L, ext, ny), dt), vm((2, L, ext, ny), dt),
+            vm((2, 3, L, ext, ny), dt),
+            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = partial(_vol_banded_kernel, count=int(count),
+                       nx=int(nx_global), rows=rows, halo=halo,
+                       dataterm=dataterm, own_lo0=int(own_lo))
+        scratch = [
             vm((L, ext, ny), dt), vm((3, L, ext, ny), dt),
             vm((L, ext, ny), dt), vm((L, ext, ny), dt),
             vm((3, L, ext, ny), dt),
             pltpu.SemaphoreType.DMA,
-        ],
+        ]
+    outs = pl.pallas_call(
+        kern,
+        grid=(n_bands,),
+        out_shape=out_shape,
+        in_specs=[smem, smem, hbm, hbm, hbm, hbm],
+        out_specs=[hbm] * 4 + [smem],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(scal, u, q, f, w)
+    )(scal, off, u, q, f, w)
     return outs[0], outs[1], outs[2], outs[3], jnp.sum(outs[4], axis=1)
 
 
@@ -335,12 +484,15 @@ def vol_fits_vmem(L: int, nx: int, ny: int, itemsize: int = 4) -> bool:
 
 
 def vol_band_count(L: int, nx: int, ny: int, residual_iter: int,
-                   itemsize: int = 4) -> int | None:
+                   itemsize: int = 4,
+                   double_buffer: bool = False) -> int | None:
     """nx-band tiling factor (cf. fused_rof.band_count); 1 = whole
-    volume, None = no efficient tiling."""
+    volume, None = no efficient tiling.  ``double_buffer`` sizes for the
+    DB kernel's doubled window scratch (+9L window planes)."""
     from .fused_rof import band_count
 
-    return band_count(nx, ny, residual_iter, n_planes=22 * L,
+    n_planes = 31 * L if double_buffer else 22 * L
+    return band_count(nx, ny, residual_iter, n_planes=n_planes,
                       itemsize=itemsize)
 
 
@@ -424,11 +576,11 @@ def match_vol_structure(problem):
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(16,))
 def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
-                   dataterm, n_bands, interpret, tols, f_vol, w_vol,
-                   radius, state, until):
+                   dataterm, n_bands, double_buffer, interpret, tols,
+                   f_vol, w_vol, radius, state, until):
     """Three-phase chunked run, identical structure to
     fused_rof._fused_rof_run."""
     ri = max(int(opts.residual_iter), 1)
@@ -447,7 +599,7 @@ def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
             u2, q2, up, qp, norms2 = vol_fused_chunk_banded(
                 u, q, f_vol, w_vol, s.tau, s.sigma, s.theta, lmb,
                 radius, ri, n_bands, dataterm=dataterm,
-                interpret=interpret)
+                interpret=interpret, double_buffer=double_buffer)
         norms = jnp.sqrt(norms2)
         s = dataclasses.replace(
             s,

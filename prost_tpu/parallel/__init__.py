@@ -24,8 +24,9 @@ from .mesh import make_mesh
 from .spatial import ShardedPDHG
 from .spatial_fused import (ShardedFusedADMM, ShardedFusedDeblur,
                             ShardedFusedMultilabel, ShardedFusedROF,
+                            ShardedFusedVol,
                             ShardedFusedTight)
 
 __all__ = ["make_mesh", "stack_problems", "BatchedPDHG", "ShardedPDHG",
            "ShardedFusedROF", "ShardedFusedMultilabel", "ShardedFusedTight",
-           "ShardedFusedDeblur", "ShardedFusedADMM"]
+           "ShardedFusedDeblur", "ShardedFusedADMM", "ShardedFusedVol"]

@@ -85,6 +85,9 @@ class BatchedPDHG:
             self.prox_g = put(self.prox_g)
             self.prox_fstar = put(self.prox_fstar)
         self.rof = self._match_fused(problems, interpret)
+        self.ml = None
+        if self.rof is None:
+            self.ml = self._match_fused_ml(problems, interpret)
 
     def _match_fused(self, problems, interpret):
         """Per-instance ROF structure matching for the batched fused Pallas
@@ -129,6 +132,44 @@ class BatchedPDHG:
             }
         return batched
 
+    def _match_fused_ml(self, problems, interpret):
+        """Per-instance fast-multilabel structure matching for the batched
+        fused path (grid = (B,), ops/fused_multilabel
+        .ml_fused_chunk_batched) — the natural many-instance segmentation
+        workload (segment N frames at once).  All instances must share
+        (nx, ny, L); f/radius/d_s may differ per instance.  Instances
+        above the whole-instance VMEM cap fall back to the generic
+        vmapped path (no banded+batched ml kernel yet)."""
+        from ..ops.fused_multilabel import (match_multilabel_structure,
+                                            ml_fits_vmem)
+
+        usable = (jax.default_backend() != "cpu") or interpret
+        if not usable or self.opts.stepsize == "alg2":
+            return None
+        if self.opts.reference_residuals:
+            return None
+        ms = [match_multilabel_structure(p) for p in problems]
+        if any(m is None for m in ms):
+            return None
+        keys = {(m["nx"], m["ny"], m["L"]) for m in ms}
+        if len(keys) != 1:
+            return None
+        nx, ny, L = keys.pop()
+        if not ml_fits_vmem(nx, ny, L):
+            return None
+        batched = {
+            "nx": nx, "ny": ny, "L": L,
+            "f": jnp.stack([m["f"] for m in ms]),
+            "radius": jnp.asarray([m["radius"] for m in ms], jnp.float32),
+            "d_s": jnp.asarray([m["d_s"] for m in ms], jnp.float32),
+        }
+        if self.mesh is not None:
+            batched = {
+                k: (self._put_batched(v) if hasattr(v, "shape") else v)
+                for k, v in batched.items()
+            }
+        return batched
+
     def _put_batched(self, tree):
         sh = NamedSharding(self.mesh, P(self.axis_name))
         return jax.tree.map(lambda leaf: jax.device_put(leaf, sh), tree)
@@ -164,6 +205,18 @@ class BatchedPDHG:
                 # Mosaic capacity rejection of the whole-plane kernel:
                 # fall back to the generic vmapped path permanently
                 self.rof = None
+        if self.ml is not None:
+            m = self.ml
+            try:
+                return _batched_fused_ml_run(
+                    self.opts, m["nx"], m["ny"], m["L"],
+                    self.mesh, self.axis_name, self.interpret,
+                    self.batched_problem, self.prox_g, self.prox_fstar,
+                    m["f"], m["radius"], m["d_s"],
+                    state, jnp.asarray(until_iter, jnp.int32), tols,
+                )
+            except jax.errors.JaxRuntimeError:
+                self.ml = None
         return _batched_pdhg_run(
             self.opts, self.batched_problem, self.prox_g, self.prox_fstar,
             state, jnp.asarray(until_iter, jnp.int32), tols,
@@ -277,6 +330,114 @@ def _batched_fused_rof_run(opts, nx, ny, dataterm, n_bands, mesh, axis_name,
             x=x2.reshape(B, -1), y=q2.reshape(B, -1),
             x_prev=xp.reshape(B, -1), y_prev=qp.reshape(B, -1),
         )
+        s = vadapt(batched_problem, s, norms[0], norms[1],
+                   norms[2], norms[3], s.iteration + ri - 1)
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return jnp.any(
+            (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+        )
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return jnp.any((s.iteration + ri <= until) & ~s.converged)
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
+
+    # epilogue: refresh operator products (per instance)
+    vap = jax.vmap(lambda p, v: p.linop.apply(v))
+    vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
+    state = dataclasses.replace(
+        state,
+        kx=vap(batched_problem, state.x),
+        kty=vad(batched_problem, state.y),
+        kx_prev=vap(batched_problem, state.x_prev),
+        kty_prev=vad(batched_problem, state.y_prev),
+    )
+
+    def cond_c(s):
+        return jnp.any((s.iteration < until) & ~s.converged)
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6),
+         donate_argnums=(13,))
+def _batched_fused_ml_run(opts, nx, ny, L, mesh, axis_name, interpret,
+                          batched_problem, prox_g, prox_fstar,
+                          f, radius, d_s, state, until, tols):
+    """Batched analog of fused_multilabel._fused_ml_run: the gridded
+    batch kernel (ml_fused_chunk_batched) advances every instance one
+    chunk per call; per-instance adaptive step sizes ride the (5, B)
+    SMEM scalar array.  Under a mesh the kernel runs under shard_map
+    over the batch axis with ZERO in-chunk collectives (cf.
+    _batched_fused_rof_run)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..backend.pdhg import residual_and_adapt
+    from ..ops.fused_multilabel import ml_fused_chunk_batched
+
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    nL = n * L
+
+    def raw_chunk(u, q, sm, ff, scal):
+        return ml_fused_chunk_batched(u, q, sm, ff, scal, ri,
+                                      interpret=interpret)
+
+    if mesh is not None and mesh.devices.size > 1:
+        bspec = P(axis_name)
+        sspec = P(None, axis_name)  # (5, B) / (4, B) instances-minor
+        chunk_call = jax.shard_map(
+            raw_chunk, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, bspec, sspec),
+            out_specs=(bspec, bspec, bspec, bspec, bspec, bspec, sspec),
+            check_vma=False,
+        )
+    else:
+        chunk_call = raw_chunk
+
+    def step_one(problem, pg, pf, s):
+        return pdhg_step(problem, pg, pf, opts, tols, s)
+
+    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+    def generic(s):
+        return vstep(batched_problem, prox_g, prox_fstar, s)
+
+    def vadapt(problem, s, n0, n1, n2, n3, it):
+        return residual_and_adapt(problem, opts, tols, s, n0, n1, n2, n3,
+                                  it)
+
+    vadapt = jax.vmap(vadapt, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def fused_chunk(s):
+        B = s.x.shape[0]
+        u = s.x.reshape(B, L, nx, ny)
+        q = s.y[:, :2 * nL].reshape(B, 2 * L, nx, ny)
+        sm = s.y[:, 2 * nL:].reshape(B, nx, ny)
+        scal = jnp.stack(
+            [s.tau, s.sigma, s.theta,
+             jnp.broadcast_to(radius, (B,)), jnp.broadcast_to(d_s, (B,))],
+            axis=0)
+        u2, q2, s2, up, qp, sp, norms2 = chunk_call(u, q, sm, f, scal)
+        norms = jnp.sqrt(norms2)
+
+        def unpack(ue, qe, se):
+            return (ue.reshape(B, -1),
+                    jnp.concatenate([qe.reshape(B, -1),
+                                     se.reshape(B, -1)], axis=1))
+
+        x_new, y_new = unpack(u2, q2, s2)
+        xp_new, yp_new = unpack(up, qp, sp)
+        s = dataclasses.replace(
+            s, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
         s = vadapt(batched_problem, s, norms[0], norms[1],
                    norms[2], norms[3], s.iteration + ri - 1)
         return dataclasses.replace(s, iteration=s.iteration + ri)

@@ -1118,3 +1118,200 @@ def _sharded_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
         return (s.iteration < until) & ~s.converged
 
     return lax.while_loop(cond_c, generic, state)
+
+
+class ShardedFusedVol(BackendPDHG):
+    """Halo-sharded fused backend for the volumetric-TV structure
+    (ops/fused_vol.py), the gradient3d analog of ShardedFusedROF: the nx
+    axis of the (L, nx, ny) volume partitioned over ``axis_name`` (the
+    z/label axis L is small and stays VMEM-resident per shard), one
+    2-ppermute halo exchange of (L + 3L + L [+L]) planes' boundary rows
+    plus one 4-scalar psum per residual_iter chunk.  Exact same iterate
+    trajectory as FusedROFPDHG's vol path (equivalence-tested).
+    Reference bar: block_gradient3d.cu:153-174 treats the operator as
+    first-class at any size."""
+
+    def __init__(self, problem, opts, solver_opts, mesh,
+                 axis_name: str = "sp", interpret: bool = False):
+        super().__init__(problem, opts, solver_opts)
+        _reject_reference_residuals(opts, "ShardedFusedVol")
+        from ..ops.fused_vol import match_vol_structure, vol_fits_vmem
+
+        self.mesh = mesh
+        self.axis_name = axis_name
+        self.interpret = interpret
+        self.vol = match_vol_structure(problem)
+        if self.vol is None:
+            raise ProstError(
+                "ShardedFusedVol: problem does not match the fused "
+                "volumetric-TV structure; use ShardedPDHG instead."
+            )
+        self.n_shards = mesh.shape[axis_name]
+        L, nx, ny = self.vol["L"], self.vol["nx"], self.vol["ny"]
+        ri = max(int(opts.residual_iter), 1)
+        self.halo = 2 * ri + 2
+        if nx % self.n_shards:
+            raise ProstError(
+                f"ShardedFusedVol: nx={nx} not divisible by "
+                f"{self.n_shards} shards."
+            )
+        self.shard_rows = nx // self.n_shards
+        if self.shard_rows < self.halo:
+            raise ProstError(
+                f"ShardedFusedVol: shard height {self.shard_rows} < halo "
+                f"{self.halo}; lower residual_iter or use fewer shards."
+            )
+        self.band_nb = None
+        if not vol_fits_vmem(L, self.shard_rows + 2 * self.halo, ny):
+            # band within the shard (cf. ShardedFusedROF)
+            from ..ops.fused_rof import shard_band_count
+
+            nb = shard_band_count(self.shard_rows, ny, ri,
+                                  n_planes=22 * L)
+            if nb is None:
+                raise ProstError(
+                    "ShardedFusedVol: one halo-extended shard block "
+                    "exceeds the VMEM budget and the shard rows admit no "
+                    "8-aligned band tiling; use a different shard count."
+                )
+            self.halo = -(-self.halo // 8) * 8
+            self.band_nb = nb
+
+    def _shard(self, state):
+        vec = NamedSharding(self.mesh, P(self.axis_name))
+        rep = NamedSharding(self.mesh, P())
+        return jax.tree.map(
+            lambda leaf: jax.device_put(leaf, vec if leaf.ndim else rep),
+            state,
+        )
+
+    def initial_state(self) -> PDHGState:
+        return self._shard(super().initial_state())
+
+    def run(self, state: PDHGState, until_iter: int) -> PDHGState:
+        sopts = self.solver_opts
+        tols = (sopts.tol_rel_primal, sopts.tol_rel_dual,
+                sopts.tol_abs_primal, sopts.tol_abs_dual)
+        v = self.vol
+        return _sharded_fused_vol_run(
+            self.problem, self.prox_g, self.prox_fstar, self.opts,
+            v["L"], v["nx"], v["ny"], v["lmb"], v["dataterm"],
+            self.mesh, self.axis_name, self.halo, self.band_nb,
+            self.interpret,
+            tols, v["f"], v["w"], jnp.asarray(v["radius"], jnp.float32),
+            state, jnp.asarray(until_iter, jnp.int32),
+        )
+
+
+def _halo_chunk_vol(u_loc, q_loc, f_loc, w_loc, scal5, *, axis, n_shards,
+                    halo, nx, ri, band_nb, dataterm, interpret):
+    """Per-shard volumetric chunk body (inside shard_map)."""
+    from ..ops.fused_vol import vol_fused_chunk_banded, vol_fused_chunk_halo
+
+    rows = u_loc.shape[1]
+    row_offset = lax.axis_index(axis) * rows - halo
+    ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    if band_nb is not None:
+        u2, q2, up, qp, norms2 = vol_fused_chunk_banded(
+            ext(u_loc), ext(q_loc), ext(f_loc), ext(w_loc),
+            scal5[0], scal5[1], scal5[2], scal5[3], scal5[4], ri, band_nb,
+            dataterm=dataterm, interpret=interpret, own_lo=halo,
+            out_rows=rows, nx_global=nx,
+            row_offset0=row_offset.astype(jnp.int32))
+        return u2, q2, up, qp, lax.psum(norms2, axis)
+    scal8 = jnp.concatenate([
+        scal5,
+        jnp.stack([
+            row_offset.astype(scal5.dtype),
+            jnp.asarray(halo, scal5.dtype),
+            jnp.asarray(halo + rows, scal5.dtype),
+        ]),
+    ])
+    u2, q2, up, qp, norms2 = vol_fused_chunk_halo(
+        ext(u_loc), ext(q_loc), ext(f_loc), ext(w_loc), scal8, ri, nx,
+        dataterm=dataterm, interpret=interpret)
+    own = slice(halo, halo + rows)
+    return (u2[:, own], q2[:, :, own], up[:, own], qp[:, :, own],
+            lax.psum(norms2, axis))
+
+
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
+         donate_argnums=(18,))
+def _sharded_fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny,
+                           lmb, dataterm, mesh, axis, halo, band_nb,
+                           interpret, tols, f_vol, w_vol, radius, state,
+                           until):
+    """Same three-phase structure as fused_vol._fused_vol_run, with the
+    chunk under shard_map (halo exchange + owned-row norms + psum)."""
+    import dataclasses as _dc
+
+    ri = max(int(opts.residual_iter), 1)
+    n_shards = mesh.shape[axis]
+
+    uspec = P(None, axis, None)
+    qspec = P(None, None, axis, None)
+    body = partial(_halo_chunk_vol, axis=axis, n_shards=n_shards,
+                   halo=halo, nx=nx, ri=ri, band_nb=band_nb,
+                   dataterm=dataterm, interpret=interpret)
+    sharded_chunk = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(uspec, qspec, uspec, uspec, P()),
+        out_specs=(uspec, qspec, uspec, qspec, P()),
+        check_vma=False,
+    )
+
+    def generic(s: PDHGState) -> PDHGState:
+        return pdhg_step(problem, prox_g, prox_fstar, opts, tols, s)
+
+    def fused_chunk(carry):
+        # planes carried across chunks (packed once, below)
+        s, (u, q, _up, _qp) = carry
+        scal5 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, s.tau.dtype), radius.astype(s.tau.dtype),
+        ])
+        u2, q2, up, qp, norms2 = sharded_chunk(u, q, f_vol, w_vol, scal5)
+        norms = jnp.sqrt(norms2)
+        s = residual_and_adapt(
+            problem, opts, tols, s,
+            norms[0], norms[1], norms[2], norms[3],
+            s.iteration + ri - 1,
+        )
+        s = _dc.replace(s, iteration=s.iteration + ri)
+        return (s, (u2, q2, up, qp))
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(carry):
+        s = carry[0]
+        return (s.iteration + ri <= until) & ~s.converged
+
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, (state.x.reshape(L, nx, ny),
+                 state.y.reshape(3, L, nx, ny),
+                 state.x_prev.reshape(L, nx, ny),
+                 state.y_prev.reshape(3, L, nx, ny))))
+
+    state = dataclasses.replace(
+        state,
+        x=planes[0].reshape(-1), y=planes[1].reshape(-1),
+        x_prev=planes[2].reshape(-1), y_prev=planes[3].reshape(-1),
+    )
+    state = dataclasses.replace(
+        state,
+        kx=problem.linop.apply(state.x),
+        kty=problem.linop.apply_adjoint(state.y),
+        kx_prev=problem.linop.apply(state.x_prev),
+        kty_prev=problem.linop.apply_adjoint(state.y_prev),
+    )
+
+    def cond_c(s):
+        return (s.iteration < until) & ~s.converged
+
+    return lax.while_loop(cond_c, generic, state)

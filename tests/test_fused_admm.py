@@ -267,3 +267,129 @@ def test_auto_projection_routes_large_to_banded():
     from prost_tpu.ops.fused_rof import fits_vmem
     assert not fits_vmem(2048, 2048)
     assert fa.admm_band_count(2048, 2048, 10) is not None
+
+
+def test_admm_multichunk_in_kernel_adaptation_matches_generic():
+    """Phase B0 (multi-chunk launches with IN-KERNEL Boyd rho-adaptation
+    incl. the dual-variable rescale, fused_admm.admm_fused_multichunk)
+    must follow the launch-per-chunk trajectory exactly; nonzero
+    tolerances make the adaptation fire, and a loose-tolerance run checks
+    that convergence inside a launch stops at the generic iteration."""
+    nx = ny = 24
+    rng = np.random.RandomState(2)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    aopts = ADMMOptions(residual_iter=5, projection="cheby",
+                        cheby_degree=10)
+
+    def sopts(t):
+        return pt.SolverOptions(verbose=False, tol_rel_primal=t,
+                                tol_rel_dual=t, tol_abs_primal=t,
+                                tol_abs_dual=t)
+
+    gen = BackendADMM(prob, aopts, sopts(1e-5))
+    gs = gen.run(gen.initial_state(), 200)  # > _K_CHUNKS * ri = 40
+    fus = FusedROFADMM(prob, aopts, sopts(1e-5), interpret=True)
+    assert fus.mode == "cheby"
+    fs = fus.run(fus.initial_state(), 200)
+    assert int(fs.iteration) == int(gs.iteration) == 200
+    np.testing.assert_allclose(np.asarray(fs.x_half), np.asarray(gs.x_half),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.rho), float(gs.rho), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+    gen = BackendADMM(prob, aopts, sopts(3e-4))
+    gs = gen.run(gen.initial_state(), 10000)
+    fus = FusedROFADMM(prob, aopts, sopts(3e-4), interpret=True)
+    fs = fus.run(fus.initial_state(), 10000)
+    assert bool(fs.converged) and bool(gs.converged)
+    assert int(fs.iteration) == int(gs.iteration)
+    np.testing.assert_allclose(np.asarray(fs.x_half), np.asarray(gs.x_half),
+                               atol=2e-4)
+
+
+def test_banded_chunk_kernel_vs_whole_chunk():
+    """The chunked banded kernel (admm_banded_chunk: grid = (ri, bands),
+    in-place ping-pong slots, z_proj dropped from the DMA'd state) must
+    bit-match the whole-plane cheby chunk on every tiling, including the
+    n_bands=2 pipeline-drain path and both ping-pong parities."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_admm import admm_banded_chunk, admm_fused_chunk
+
+    rng = np.random.RandomState(16)
+    nx, ny = 128, 32
+    xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)
+    xp_, xd, warm = xh + 0.1, xh * 0.5, xh * 0.2
+    zh = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    zd = zh * 0.1
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(f)
+    rho = jnp.asarray(1.0, jnp.float32)
+    ri = 3  # odd count exercises the non-zero final parity slot
+
+    # whole-plane reference needs z_proj consistent with the invariant
+    # z_proj == grad(x_proj)
+    ii = jnp.arange(nx)[:, None] < nx - 1
+    jj = jnp.arange(ny)[None, :] < ny - 1
+    zp_ = jnp.stack([jnp.where(ii, jnp.roll(xp_, -1, 0) - xp_, 0.0),
+                     jnp.where(jj, jnp.roll(xp_, -1, 1) - xp_, 0.0)])
+    tols = jnp.full((int(ri),), 1e-9, jnp.float32)
+    ref = admm_fused_chunk(xh, xp_, xd, zh, zp_, zd, warm, f, w, rho,
+                           16.0, 0.5, tols, int(ri), 10, 1.7,
+                           interpret=True, cheby_degree=10)
+    exp = [ref[0], ref[1], ref[2], ref[3], ref[5], ref[6]]
+
+    def dbl(a):
+        return jnp.zeros((2,) + a.shape, a.dtype).at[0].set(a)
+
+    for nb, db in ((2, True), (4, True), (4, False)):
+        outs = admm_banded_chunk(
+            dbl(xh), dbl(xp_), dbl(xd), dbl(zh), dbl(zd), dbl(warm), f, w,
+            0, rho, jnp.asarray(1.0), 16.0, 0.5, int(ri), nb, 10, 1.7,
+            interpret=True, double_buffer=db)
+        slot = int(ri) % 2
+        for nm, g, e in zip(["xh", "xp", "xd", "zh", "zd", "warm"],
+                            [o[slot] for o in outs[:6]], exp):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(e),
+                                       atol=1e-6,
+                                       err_msg=f"nb={nb} db={db} {nm}")
+        np.testing.assert_allclose(np.asarray(outs[6]), np.asarray(ref[7]),
+                                   rtol=1e-4)
+
+
+def test_banded_run_rho_adaptation_matches_whole_plane():
+    """End-to-end banded run with NONZERO tolerances: the Boyd
+    rho-adaptation (run outside the kernel on the in-kernel norms) and
+    its dual rescale (folded into the next chunk as the pending ``fac``)
+    must reproduce the whole-plane trajectory."""
+    nx, ny = 128, 32
+    rng = np.random.RandomState(17)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 8.0)
+    aopts = ADMMOptions(residual_iter=5, projection="cheby")
+    t = 1e-3  # rho adapts twice and the run converges mid-phase-B
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=t,
+                             tol_rel_dual=t, tol_abs_primal=t,
+                             tol_abs_dual=t)
+
+    whole = FusedROFADMM(prob, aopts, sopts, interpret=True)
+    assert whole.mode == "cheby"
+    ws = whole.run(whole.initial_state(), 100)
+
+    band = FusedROFADMM(prob, aopts, sopts, interpret=True)
+    band.mode = "banded"
+    band.rof["n_bands"] = 4
+    band.rof["double_buffer"] = True
+    bs = band.run(band.initial_state(), 100)
+
+    assert int(bs.iteration) == int(ws.iteration)
+    assert float(ws.rho) != 1.0  # adaptation actually fired
+    np.testing.assert_allclose(float(bs.rho), float(ws.rho), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(bs.x_half),
+                               np.asarray(ws.x_half), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bs.x_dual),
+                               np.asarray(ws.x_dual), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(bs.z_proj),
+                               np.asarray(ws.z_proj), atol=2e-5)

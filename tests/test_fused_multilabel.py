@@ -177,3 +177,31 @@ def test_ml_banded_chunk_matches_whole_plane(n_bands):
                                    atol=3e-7, rtol=3e-7)
     np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(ban[6]),
                                rtol=1e-5, atol=1e-10)
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_ml_banded_double_buffer_matches_whole_plane(n_bands):
+    """The double-buffered banded ml kernel (shared run_banded_db
+    pipeline) must match the whole-plane kernel too."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_chunk_banded)
+
+    L, nx, ny = 3, 64, 24
+    ri = 4
+    rng = np.random.RandomState(20)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0)
+
+    ref = ml_fused_chunk(u, q, s, f, *args, ri, interpret=True)
+    db = ml_fused_chunk_banded(u, q, s, f, *args, ri, n_bands,
+                               interpret=True, double_buffer=True)
+    for a, b in zip(ref[:6], db[:6]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(db[6]),
+                               rtol=1e-5, atol=1e-10)

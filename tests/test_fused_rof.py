@@ -278,3 +278,63 @@ def test_banded_double_buffer_matches_whole():
                                        atol=1e-6, err_msg=f"nb{nb} out{i}")
         np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(db[4]),
                                    rtol=1e-5)
+
+
+@pytest.mark.parametrize("stepsize", ["boyd", "goldstein", "alg1"])
+def test_multichunk_in_kernel_adaptation_matches_generic(stepsize):
+    """Phase B0 (multi-chunk launches with IN-KERNEL boyd/goldstein
+    adaptation and convergence test, fused_rof.rof_fused_multichunk) must
+    follow the launch-per-chunk trajectory exactly: same iterates, same
+    adapted step sizes, same stopping iteration.  Nonzero tolerances make
+    the adaptation branches actually fire."""
+    nx = ny = 24
+    rng = np.random.RandomState(2)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    popts = PDHGOptions(stepsize=stepsize, residual_iter=5,
+                        scale_steps_operator=False)
+    t = 1e-5
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=t, tol_rel_dual=t,
+                             tol_abs_primal=t, tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts)
+    gs = gen.run(gen.initial_state(), 200)  # > _K_CHUNKS * ri = 40
+    fus = FusedROFPDHG(prob, popts, sopts, interpret=True)
+    assert fus.rof is not None and fus.rof["n_bands"] == 1
+    fs = fus.run(fus.initial_state(), 200)
+
+    assert int(fs.iteration) == int(gs.iteration)
+    assert bool(fs.converged) == bool(gs.converged)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y), atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+    np.testing.assert_allclose(float(fs.sigma), float(gs.sigma), rtol=1e-6)
+    np.testing.assert_allclose(
+        float(fs.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+
+def test_multichunk_convergence_mid_launch():
+    """Convergence inside a multi-chunk launch must stop at the SAME
+    iteration as the generic path (post-convergence chunks are branched
+    around in-kernel), and current_solution must see the matching
+    x_prev/y_prev pair."""
+    nx = ny = 24
+    rng = np.random.RandomState(2)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    t = 2e-4
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=t, tol_rel_dual=t,
+                             tol_abs_primal=t, tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts)
+    gs = gen.run(gen.initial_state(), 10000)
+    fus = FusedROFPDHG(prob, popts, sopts, interpret=True)
+    fs = fus.run(fus.initial_state(), 10000)
+
+    assert bool(fs.converged) and bool(gs.converged)
+    assert int(fs.iteration) == int(gs.iteration)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
+    for a, b in zip(fus.current_solution(fs), gen.current_solution(gs)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)

@@ -236,3 +236,39 @@ def test_sharded_fused_tight_matches_generic(n_shards):
     np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
     np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_tight_banded_double_buffer_matches_whole_plane(n_bands):
+    """The double-buffered banded tight kernel (shared run_banded_db
+    pipeline) must match the whole-plane kernel."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_tight import (match_tight_structure,
+                                           tight_fused_chunk,
+                                           tight_fused_chunk_banded)
+
+    nx, ny, L = 64, 16, 3
+    k = L * (L - 1) // 2
+    prob = tight_problem(nx, ny, L=L, lmb=0.8, seed=4)
+    m = match_tight_structure(prob)
+    assert m is not None
+    ri = 4
+    rng = np.random.RandomState(12)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    v = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    p = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, m["radius"], m["d_s"])
+
+    ref = tight_fused_chunk(u, v, q, p, s, m["f"], *args, ri,
+                            m["taps"], m["consts"], interpret=True)
+    db = tight_fused_chunk_banded(u, v, q, p, s, m["f"], *args, ri,
+                                  m["taps"], m["consts"], n_bands,
+                                  interpret=True, double_buffer=True)
+    for a, b in zip(ref[0] + ref[1], db[0] + db[1]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ref[2]), np.asarray(db[2]),
+                               rtol=1e-5, atol=1e-10)

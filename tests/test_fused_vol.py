@@ -120,3 +120,29 @@ def test_vol_full_solve_converges():
         sopts)
     res = solver.solve()
     assert res.result == pt.ConvergenceResult.CONVERGED
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_vol_banded_double_buffer_matches_whole(n_bands):
+    """The double-buffered banded vol kernel (shared run_banded_db
+    pipeline) must match the whole-volume kernel."""
+    from prost_tpu.ops.fused_vol import (vol_fused_chunk,
+                                         vol_fused_chunk_banded)
+
+    L, nx, ny = 3, 64, 16
+    ri = 3
+    rng = np.random.RandomState(25)
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.2 * rng.randn(3, L, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    w = jnp.ones_like(u)
+    args = (0.9, 1.1, 1.0, 6.0, 1.0)
+
+    ref = vol_fused_chunk(u, q, f, w, *args, ri, interpret=True)
+    db = vol_fused_chunk_banded(u, q, f, w, *args, ri, n_bands,
+                                interpret=True, double_buffer=True)
+    for a, b in zip(ref[:4], db[:4]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7)
+    np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(db[4]),
+                               rtol=1e-5, atol=1e-10)

@@ -285,3 +285,92 @@ def test_batched_banded_matches_whole_instance():
     np.testing.assert_array_equal(np.asarray(bs.y), np.asarray(rs.y))
     np.testing.assert_allclose(np.asarray(bs.tau), np.asarray(rs.tau),
                                rtol=1e-7)
+
+
+def _ml_problem(nx, ny, L, f_lin, lmb, d_s=1.0):
+    """Fast-multilabel problem (cf. examples/example_multilabel_fast.py)."""
+    import prost_tpu as pt
+    from prost_tpu import block, function
+
+    n = nx * ny
+    u = pt.Variable(n * L)
+    q = pt.Variable(2 * n * L)
+    s = pt.Variable(n)
+    prob = pt.MinMaxProblem([u], [q, s])
+    prob.add_function(u, function.sum_1d("ind_geq0", 1, 0, 1, f_lin, 0))
+    prob.add_function(q, function.sum_norm2(2 * L, False, "ind_leq0",
+                                            1 / lmb, 1, 1))
+    prob.add_function(s, function.sum_1d("zero", 1, 0, 1, d_s, 0))
+    prob.add_dual_pair(u, q, block.gradient2d(nx, ny, L))
+    prob.add_dual_pair(u, s, block.sparse_kron_id(np.ones((1, L)), n))
+    return prob.finalize()
+
+
+def test_batched_fused_multilabel_matches_generic_vmap():
+    """The batched fused MULTILABEL path (grid = (B,) gridded ml chunk
+    kernel, per-instance radius/d_s/step sizes in SMEM) must reproduce
+    the generic vmapped loop — the many-instance segmentation workload
+    (VERDICT r3 task 6)."""
+    nx = ny = 16
+    L = 3
+    n = nx * ny
+    rng = np.random.RandomState(9)
+    problems = [
+        _ml_problem(nx, ny, L, rng.rand(n * L).astype(np.float32),
+                    float(lmb)) for lmb in (0.3, 0.5, 0.8)
+    ]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0,
+                             tol_rel_dual=0, tol_abs_primal=0,
+                             tol_abs_dual=0)
+
+    gen = BatchedPDHG(problems, popts, sopts)
+    assert gen.rof is None and gen.ml is None  # CPU w/o interpret
+    gs = gen.run(gen.initial_state(), 41)
+
+    fus = BatchedPDHG(problems, popts, sopts, interpret=True)
+    assert fus.rof is None and fus.ml is not None
+    fs = fus.run(fus.initial_state(), 41)
+
+    np.testing.assert_array_equal(np.asarray(fs.iteration), 41)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.tau), np.asarray(gs.tau),
+                               rtol=1e-6)
+
+
+def test_batched_fused_multilabel_multidevice():
+    """The batched ml chunk kernel under shard_map over 'dp' (multi-device
+    segmentation ensembles keep the fused path)."""
+    from prost_tpu.parallel import make_mesh
+
+    nx = ny = 16
+    L = 3
+    n = nx * ny
+    rng = np.random.RandomState(10)
+    problems = [
+        _ml_problem(nx, ny, L, rng.rand(n * L).astype(np.float32), 0.5)
+        for _ in range(8)
+    ]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0,
+                             tol_rel_dual=0, tol_abs_primal=0,
+                             tol_abs_dual=0)
+
+    single = BatchedPDHG(problems, popts, sopts, interpret=True)
+    assert single.ml is not None
+    ss = single.run(single.initial_state(), 21)
+
+    mesh = make_mesh((4,), axis_names=("dp",))
+    multi = BatchedPDHG(problems, popts, sopts, mesh=mesh, interpret=True)
+    assert multi.ml is not None
+    ms = multi.run(multi.initial_state(), 21)
+
+    np.testing.assert_allclose(np.asarray(ms.x), np.asarray(ss.x),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ms.y), np.asarray(ss.y),
+                               atol=1e-6)

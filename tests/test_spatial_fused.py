@@ -359,3 +359,64 @@ def test_sharded_admm_comm_volume_per_iteration():
     measured = _collective_permute_bytes(hlo)
     expected = 2 * 10 * halo * ny * 4
     assert measured == expected, (measured, expected)
+
+
+@pytest.mark.parametrize("n_shards,residual_iter", [(4, 5), (8, 2)])
+def test_sharded_fused_vol_matches_generic(n_shards, residual_iter):
+    """ShardedFusedVol (nx-axis halo exchange around the fused
+    volumetric-TV chunk) must reproduce the generic trajectory."""
+    import sys
+    from test_fused_vol import vol_problem
+
+    from prost_tpu.parallel import ShardedFusedVol
+
+    L, nx, ny = 3, 64, 16
+    rng = np.random.RandomState(23)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=residual_iter,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 31)
+
+    sh = ShardedFusedVol(prob, popts, _opts(), _mesh(n_shards),
+                         interpret=True)
+    ss = sh.run(sh.initial_state(), 31)
+
+    assert int(ss.iteration) == int(gs.iteration) == 31
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(
+        float(ss.primal_residual), float(gs.primal_residual), rtol=1e-3)
+
+
+def test_sharded_banded_vol_matches_generic():
+    """Banding WITHIN vol shards (forced band_nb) with shard-global row
+    offsets must match the generic trajectory."""
+    from test_fused_vol import vol_problem
+
+    from prost_tpu.parallel import ShardedFusedVol
+
+    L, nx, ny = 3, 128, 16
+    rng = np.random.RandomState(24)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=2,
+                        scale_steps_operator=False)
+
+    gen = BackendPDHG(prob, popts, _opts())
+    gs = gen.run(gen.initial_state(), 21)
+
+    sh = ShardedFusedVol(prob, popts, _opts(), _mesh(4), interpret=True)
+    sh.band_nb = 2
+    sh.halo = 8  # 8-aligned exchange halo >= 2*ri + 2 = 6
+    ss = sh.run(sh.initial_state(), 21)
+
+    assert int(ss.iteration) == int(gs.iteration) == 21
+    np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y),
+                               atol=2e-5)

@@ -90,7 +90,12 @@ def verify_ml():
     ban4 = ml_fused_chunk_banded(u, q, s, f, *args, 4)
     ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:6], ban4[:6]))) and ok
-    return ok and _check("nb4 norms", ref[6], ban4[6], tol=1e-5)
+    ok = _check("nb4 norms", ref[6], ban4[6], tol=1e-5) and ok
+    # double-buffered variant (round-4): shared run_banded_db pipeline
+    db = ml_fused_chunk_banded(u, q, s, f, *args, 4, double_buffer=True)
+    ok = all(_check(f"db out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:6], db[:6]))) and ok
+    return ok and _check("db norms", ref[6], db[6], tol=1e-5)
 
 
 def verify_tight():
@@ -132,7 +137,13 @@ def verify_tight():
         u, v, q, p, s, f, *args, 4)
     ok = all(_check(f"nb4 new[{i}]", a, b) for i, (a, b) in
              enumerate(zip(new_r, new_b4))) and ok
-    return ok and _check("nb4 norms", n_r, n_b4, tol=1e-5)
+    ok = _check("nb4 norms", n_r, n_b4, tol=1e-5) and ok
+    # double-buffered variant (round-4)
+    new_db, prev_db, n_db = tight_fused_chunk_banded(
+        u, v, q, p, s, f, *args, 4, double_buffer=True)
+    ok = all(_check(f"db new[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(new_r, new_db))) and ok
+    return ok and _check("db norms", n_r, n_db, tol=1e-5)
 
 
 def verify_deblur():
@@ -255,6 +266,292 @@ def verify_admm_banded():
     return ok
 
 
+def verify_admm_chunk_banded():
+    """The chunked banded Chebyshev-ADMM kernel (admm_banded_chunk:
+    grid = (ri, n_bands), IN-PLACE ping-pong slots, z_proj dropped) vs
+    the whole-plane chunk — in-place aliasing + cross-iteration DMA
+    pipelining is exactly what interpret mode cannot validate.  Both
+    parities (odd/even count) and a pending dual-rescale fac != 1."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_admm import admm_banded_chunk, admm_fused_chunk
+
+    print("ADMM chunked banded (512x512, nb in {2,4,8}, deg=10):")
+    rng = np.random.RandomState(12)
+    nx = ny = 512
+
+    def plane(*lead):
+        return jnp.asarray(0.3 * rng.randn(*lead, nx, ny), jnp.float32)
+
+    xh, xp, xd, warm = plane(), plane(), plane(), plane()
+    zh, zd = plane(2), plane(2)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(f)
+    rho = jnp.asarray(1.3, jnp.float32)
+    fac = jnp.asarray(0.8, jnp.float32)
+
+    def dbl(a):
+        return jnp.zeros((2,) + a.shape, a.dtype).at[0].set(a)
+
+    ok = True
+    for count in (3, 10):
+        # whole-plane reference consumes the SAME rescaled duals and a
+        # z_proj consistent with the invariant z_proj == grad(x_proj)
+        ii = jnp.arange(nx)[:, None] < nx - 1
+        jj = jnp.arange(ny)[None, :] < ny - 1
+        zp_ = jnp.stack([jnp.where(ii, jnp.roll(xp, -1, 0) - xp, 0.0),
+                         jnp.where(jj, jnp.roll(xp, -1, 1) - xp, 0.0)])
+        tols = jnp.full((count,), 1e-9, jnp.float32)
+        ref = admm_fused_chunk(xh, xp, xd * fac, zh, zp_, zd * fac, warm,
+                               f, w, rho, 16.0, 0.5, tols, count, 10, 1.7,
+                               cheby_degree=10)
+        exp = [ref[0], ref[1], ref[2], ref[3], ref[5], ref[6]]
+        for nb, db in ((2, True), (4, True), (4, False), (8, True)):
+            outs = admm_banded_chunk(
+                dbl(xh), dbl(xp), dbl(xd), dbl(zh), dbl(zd), dbl(warm),
+                f, w, 0, rho, fac, 16.0, 0.5, count, nb, 10, 1.7,
+                double_buffer=db)
+            slot = count % 2
+            tag = f"c{count} nb{nb}{'db' if db else ''}"
+            for nm, g, e in zip(("xh", "xp", "xd", "zh", "zd", "warm"),
+                                [o[slot] for o in outs[:6]], exp):
+                ok = _check(f"{tag} {nm}", e, g) and ok
+            ok = _check(f"{tag} norms", ref[7], outs[6], tol=1e-5) and ok
+    return ok
+
+
+def verify_multichunk():
+    """The multi-chunk kernels with IN-KERNEL adaptation
+    (rof_fused_multichunk / admm_fused_multichunk) vs k sequential
+    single-chunk launches with the adaptation outside — the in-kernel
+    lax.cond branching + SMEM scalar math on real hardware."""
+    import math
+
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_admm import (admm_adapt_scalars,
+                                          admm_fused_chunk,
+                                          admm_fused_multichunk)
+    from prost_tpu.ops.fused_rof import (adapt_scalars, rof_fused_chunk,
+                                         rof_fused_multichunk)
+
+    print("multi-chunk in-kernel adaptation (512x512, ri=10, K=4):")
+    rng = np.random.RandomState(13)
+    nx = ny = 512
+    ri, K = 10, 4
+    x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(x)
+    nrows, ncols = 2.0 * nx * ny, 1.0 * nx * ny
+    consts = (math.sqrt(nrows), math.sqrt(ncols), 1.5, 0.95, 1.05, 0.8)
+    t = 1e-4  # tolerances loose enough for boyd branches to fire
+
+    # reference: K sequential chunks + host-side adaptation
+    tau = sigma = jnp.asarray(1.0, jnp.float32)
+    aa = jnp.asarray(0.5, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    xs, qs = x, q
+    for c in range(K):
+        x2, q2, xp_, qp_, n2 = rof_fused_chunk(
+            xs, qs, f, w, tau, sigma, 1.0, 16.0, 0.5, ri)
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri - 1, jnp.float32)
+        tau, sigma, aa, al, au, _ = adapt_scalars(
+            "boyd", consts, (t, t, t, t), it, tau, sigma, aa, al, au,
+            pr, pn, dr, dn)
+        xs, qs = x2, q2
+    scal13 = jnp.asarray(
+        [1.0, 1.0, 1.0, 16.0, 0.5, 0.5, 0.0, 0.0, 0.0, t, t, t, t],
+        jnp.float32)
+    mx, mq, mxp, mqp, mnorms, sout = rof_fused_multichunk(
+        x, q, f, w, scal13, ri, K, "square", "boyd", consts)
+    ok = _check("rof x", xs, mx)
+    ok = _check("rof q", qs, mq) and ok
+    ok = _check("rof tau", tau, sout[0], tol=1e-6) and ok
+    ok = _check("rof sigma", sigma, sout[1], tol=1e-6) and ok
+    ok = _check("rof chunks_done", jnp.asarray(float(K)), sout[6]) and ok
+
+    # ADMM multichunk vs sequential cheby chunks + admm_adapt_scalars
+    xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)
+    xp2, xd, warm = xh + 0.1, xh * 0.5, xh * 0.2
+    zh = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    zp_, zd = zh * 0.9, zh * 0.1
+    rho = jnp.asarray(1.0, jnp.float32)
+    delta = jnp.asarray(1.05, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    aconsts = (math.sqrt(nrows), math.sqrt(ncols), 0.8, 1.01)
+    st = (xh, xp2, xd, zh, zp_, zd, warm)
+    tols_k = jnp.full((ri,), 1e-9, jnp.float32)
+    for c in range(K):
+        outs = admm_fused_chunk(*st, f, w, rho, 16.0, 0.5, tols_k, ri,
+                                10, 1.7, cheby_degree=10)
+        n2 = outs[7]
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri, jnp.float32)
+        rho, delta, al, au, fc, _ = admm_adapt_scalars(
+            aconsts, (t, t, t, t), it, rho, delta, al, au, pr, pn, dr, dn)
+        st = (outs[0], outs[1], outs[2] * fc, outs[3], outs[4],
+              outs[5] * fc, outs[6])
+    scal11 = jnp.asarray(
+        [1.0, 16.0, 0.5, 1.05, 0.0, 0.0, 0.0, t, t, t, t], jnp.float32)
+    m = admm_fused_multichunk(xh, xp2, xd, zh, zp_, zd, warm, f, w,
+                              scal11, ri, K, 1.7, 10, aconsts)
+    # the multichunk kernel applies each chunk's dual rescale eagerly
+    # (including the last chunk's), matching the sequential reference
+    ok = _check("admm xh", st[0], m[0]) and ok
+    ok = _check("admm xd", st[2], m[2]) and ok
+    ok = _check("admm rho", rho, m[8][0], tol=1e-6) and ok
+    return ok
+
+
+def verify_sharded_banded_ml():
+    """Banding WITHIN a multilabel shard block (nonzero shard-global
+    off_ref) on hardware — round-3 verified only ROF's composition."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_chunk_banded)
+
+    print("ml sharded-banded (shard 1 of 512x256x4, nb=2, ri=10):")
+    rng = np.random.RandomState(14)
+    L, nx, ny, halo8 = 4, 512, 256, 24
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0, 10)
+    ref = ml_fused_chunk(u, q, s, f, *args)
+
+    blk = slice(256 - halo8, 512)  # shard 1 owns rows [256, 512)
+    outs = ml_fused_chunk_banded(
+        u[:, blk], q[:, blk], s[blk], f[:, blk], *args, 2,
+        own_lo=halo8, out_rows=256, nx_global=nx,
+        row_offset0=jnp.asarray(256 - halo8, jnp.int32))
+    own = slice(256, None)
+    ok = _check("u2", ref[0][:, own], outs[0])
+    ok = _check("q2", ref[1][:, own], outs[1]) and ok
+    ok = _check("s2", ref[2][own], outs[2]) and ok
+    ok = _check("u_prev", ref[3][:, own], outs[3]) and ok
+    return ok
+
+
+def verify_sharded_banded_tight():
+    """Banding WITHIN a tight-multilabel shard block on hardware."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_tight import (tight_fused_chunk,
+                                           tight_fused_chunk_banded)
+
+    print("tight sharded-banded (shard 1 of 256x128x3 k=3, nb=2, ri=10):")
+    rng = np.random.RandomState(15)
+    L, nx, ny, halo8 = 3, 256, 128, 24
+    k = L * (L - 1) // 2
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    v = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    p = jnp.asarray(0.1 * rng.randn(2 * k, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    taps = []
+    m = 0
+    for a in range(L):
+        for b in range(a + 1, L):
+            for comp in range(2):
+                taps.append((comp * L + a, comp * k + m, 1.0))
+                taps.append((comp * L + b, comp * k + m, -1.0))
+            m += 1
+    taps = tuple(taps)
+    consts = (0.5, 1.0, 1.0 / L, 1.0 / (2.0 + L), 1.0 / 3.0)
+    args = (0.9, 1.1, 1.0, 0.5, 1.0, 10, taps, consts)
+    new_r, prev_r, _ = tight_fused_chunk(u, v, q, p, s, f, *args)
+
+    blk = slice(128 - halo8, 256)  # shard 1 owns rows [128, 256)
+    new_b, prev_b, _ = tight_fused_chunk_banded(
+        u[:, blk], v[:, blk], q[:, blk], p[:, blk], s[blk], f[:, blk],
+        *args, 2, own_lo=halo8, out_rows=128, nx_global=nx,
+        row_offset0=jnp.asarray(128 - halo8, jnp.int32))
+    ok = True
+    for i, (a, b) in enumerate(zip(new_r, new_b)):
+        own = (slice(128, None),) if a.ndim == 2 \
+            else (slice(None), slice(128, None))
+        ok = _check(f"new[{i}]", a[own], b) and ok
+    return ok
+
+
+def verify_sharded_banded_deblur():
+    """Banding WITHIN a deblur shard block (own_lo != 0 path: uniform
+    interior fetches, no edge zero-fill) on hardware."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_deblur import (deblur_fused_chunk,
+                                            deblur_fused_chunk_banded)
+
+    print("deblur sharded-banded (shard 1 of nx2=512, nb=2, ri=4):")
+    nx = ny = 506
+    kk = 7
+    nx2 = ny2 = nx + kk - 1
+    taps = tuple((dx, dy, 1.0 / (16 * (1 + dx + dy)))
+                 for dx in range(0, kk, 2) for dy in range(0, kk, 2))
+    rng = np.random.RandomState(16)
+
+    def emb(a):
+        out = np.zeros(a.shape[:-2] + (nx2, ny2), np.float32)
+        out[..., :nx, :ny] = a
+        return jnp.asarray(out)
+
+    x = emb(rng.rand(nx, ny).astype(np.float32))
+    q = emb(0.2 * rng.randn(2, nx, ny).astype(np.float32))
+    yv = jnp.asarray(0.1 * rng.randn(nx2, ny2), jnp.float32)
+    fb = jnp.asarray(rng.rand(nx2, ny2), jnp.float32)
+    sv = jnp.asarray(0.5 + rng.rand(nx2, ny2), jnp.float32)
+    args = (0.9, 1.1, 1.0, 25.0, 0.5, 4, nx, ny, taps, 0.5, 0.2)
+    ref = deblur_fused_chunk(x, yv, q, fb, sv, *args)
+
+    halo8 = 64  # 8-rounded (2*ri+2 + 2*(k-1)) conv-reach halo for ri=4
+    blk = slice(256 - halo8, 512)  # shard 1 owns padded rows [256, 512)
+    outs = deblur_fused_chunk_banded(
+        x[blk], yv[blk], q[:, blk], fb[blk], sv[blk], *args, 2,
+        own_lo=halo8, out_rows=256,
+        row_offset0=jnp.asarray(256 - halo8, jnp.int32))
+    own = slice(256, None)
+    ok = _check("x2", ref[0][own], outs[0])
+    ok = _check("yv2", ref[1][own], outs[1]) and ok
+    ok = _check("q2", ref[2][:, own], outs[2]) and ok
+    return ok
+
+
+def verify_sharded_banded_vol():
+    """Banding WITHIN a volumetric shard block on hardware (round-4
+    ShardedFusedVol composition)."""
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_vol import (vol_fused_chunk,
+                                         vol_fused_chunk_banded)
+
+    print("vol sharded-banded (shard 1 of 4x512x256, nb=2, ri=10):")
+    rng = np.random.RandomState(17)
+    L, nx, ny, halo8 = 4, 512, 256, 24
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    w = jnp.ones_like(u)
+    args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
+    ref = vol_fused_chunk(u, q, f, w, *args)
+
+    blk = slice(256 - halo8, 512)
+    outs = vol_fused_chunk_banded(
+        u[:, blk], q[:, :, blk], f[:, blk], w[:, blk], *args, 2,
+        own_lo=halo8, out_rows=256, nx_global=nx,
+        row_offset0=jnp.asarray(256 - halo8, jnp.int32))
+    own = slice(256, None)
+    ok = _check("u2", ref[0][:, own], outs[0])
+    ok = _check("q2", ref[1][:, :, own], outs[1]) and ok
+    return ok
+
+
 def verify_sharded_banded():
     """Banded kernel on a halo-extended SHARD block (own_lo/out_rows/
     row_offset0 path) vs the whole-plane kernel — the shard composition's
@@ -308,7 +605,12 @@ def verify_ensemble_banded():
     ban = rof_fused_chunk_banded_batched(x, q, f, w, scal, 10, 2)
     ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:4], ban[:4])))
-    return ok and _check("norms", ref[4], ban[4], tol=1e-5)
+    ok = _check("norms", ref[4], ban[4], tol=1e-5) and ok
+    # nb=4: interior bands with unclamped offsets inside each instance
+    ban4 = rof_fused_chunk_banded_batched(x, q, f, w, scal, 10, 4)
+    ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:4], ban4[:4]))) and ok
+    return ok and _check("nb4 norms", ref[4], ban4[4], tol=1e-5)
 
 
 def verify_vol():
@@ -331,7 +633,12 @@ def verify_vol():
     ban = vol_fused_chunk_banded(u, q, f, w, *args, 2)
     ok = all(_check(f"out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref[:4], ban[:4])))
-    return ok and _check("norms", ref[4], ban[4], tol=1e-5)
+    ok = _check("norms", ref[4], ban[4], tol=1e-5) and ok
+    # double-buffered variant (round-4)
+    db = vol_fused_chunk_banded(u, q, f, w, *args, 2, double_buffer=True)
+    ok = all(_check(f"db out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref[:4], db[:4]))) and ok
+    return ok and _check("db norms", ref[4], db[4], tol=1e-5)
 
 
 def main():
@@ -351,7 +658,13 @@ def main():
     for name, fn in (("rof", verify_rof), ("ml", verify_ml),
                      ("tight", verify_tight), ("deblur", verify_deblur),
                      ("admm", verify_admm), ("admm_banded", verify_admm_banded),
+                     ("admm_chunk_banded", verify_admm_chunk_banded),
+                     ("multichunk", verify_multichunk),
                      ("sharded_banded", verify_sharded_banded),
+                     ("sharded_banded_ml", verify_sharded_banded_ml),
+                     ("sharded_banded_tight", verify_sharded_banded_tight),
+                     ("sharded_banded_deblur", verify_sharded_banded_deblur),
+                     ("sharded_banded_vol", verify_sharded_banded_vol),
                      ("ensemble_banded", verify_ensemble_banded),
                      ("vol", verify_vol)):
         if want and name not in want:
