@@ -259,7 +259,7 @@ def build_ensemble(B, nx, ny, seed=42):
     return BatchedPDHG(problems, _pdhg_opts(), _solver_opts())
 
 
-def measure_backend(backend, short=2000, long_=22000, repeats=3):
+class TwoPointMeter:
     """Two-point throughput measurement WITH dispersion: the
     remote-tunneled runtime charges ~90 ms of D2H sync latency to EVERY
     host read (profiled: the 500-iteration device program itself takes
@@ -268,49 +268,72 @@ def measure_backend(backend, short=2000, long_=22000, repeats=3):
     Delta-iters / Delta-t — dispatch + sync costs cancel, leaving pure
     device throughput.
 
-    Returns a dict {value, min, max, n_sweeps}: ``value`` is the MEDIAN
-    of the per-sweep estimates (round-2 verdict: best-of-N point
-    estimates hid 2.3x spreads), min/max quantify the contention band.
+    Exposes ``sweep()`` so the --all mode can interleave configs
+    ROUND-ROBIN across the session (contention spikes then hit all
+    configs equally instead of whichever ran at the bad hour — round-3
+    verdict, weak #7).  ``result()`` returns {value, min, max, n_sweeps}:
+    ``value`` is the MEDIAN of the per-sweep estimates (round-2 verdict:
+    best-of-N point estimates hid 2.3x spreads), min/max quantify the
+    contention band.
 
     Warm up to iteration 21 (aligned: 21 % residual_iter == 1, so timed
     runs have no align/tail phases).  Synchronize via a host-side scalar
     read: block_until_ready alone has been observed not to wait on the
     axon remote platform, which silently inflates the timing 30x.
     """
-    def sync_iter(s):
+
+    def __init__(self, backend, short=2000, long_=22000):
+        self.backend = backend
+        self.short = short
+        self.long_ = long_
+        state = backend.initial_state()
+        state = backend.run(state, 21)
+        assert self._sync_iter(state) == 21
+        self.state = state
+        self.done = 21
+        self.ests = []
+        self.best_long = float("inf")
+
+    @staticmethod
+    def _sync_iter(s):
         return int(np.max(np.asarray(s.iteration)))  # scalar or (B,)
 
-    state = backend.initial_state()
-    state = backend.run(state, 21)
-    assert sync_iter(state) == 21
-
-    def timed_run(start_state, start, iters):
+    def _timed_run(self, iters):
         t0 = time.perf_counter()
-        out = backend.run(start_state, start + iters)
-        assert sync_iter(out) == start + iters
-        return out, time.perf_counter() - t0
+        self.state = self.backend.run(self.state, self.done + iters)
+        assert self._sync_iter(self.state) == self.done + iters
+        self.done += iters
+        return time.perf_counter() - t0
 
-    ests = []
-    best_long = float("inf")
-    done = 21
-    for _ in range(repeats):
-        state, dt_s = timed_run(state, done, short)
-        done += short
-        state, dt_l = timed_run(state, done, long_)
-        done += long_
-        best_long = min(best_long, dt_l)
+    def sweep(self):
+        """One (short, long) timing pair; keeps the estimate only when
+        the two-point delta is not contention-corrupted."""
+        dt_s = self._timed_run(self.short)
+        dt_l = self._timed_run(self.long_)
+        self.best_long = min(self.best_long, dt_l)
         delta = dt_l - dt_s
-        if delta >= 0.2 * dt_l:  # two-point delta not contention-corrupted
-            ests.append((long_ - short) / delta)
+        if delta >= 0.2 * dt_l:
+            self.ests.append((self.long_ - self.short) / delta)
 
-    if not ests:
-        # every sweep's short run ate a congestion spike: report the
-        # conservative single-run rate (includes ~90 ms tunnel sync, so
-        # it UNDERestimates)
-        v = long_ / best_long
-        return {"value": v, "min": v, "max": v, "n_sweeps": 0}
-    return {"value": float(np.median(ests)), "min": min(ests),
-            "max": max(ests), "n_sweeps": len(ests)}
+    def result(self):
+        if not self.ests:
+            # every sweep's short run ate a congestion spike: report the
+            # conservative single-run rate (includes ~90 ms tunnel sync,
+            # so it UNDERestimates)
+            v = self.long_ / self.best_long
+            return {"value": v, "min": v, "max": v, "n_sweeps": 0}
+        return {"value": float(np.median(self.ests)),
+                "min": min(self.ests), "max": max(self.ests),
+                "n_sweeps": len(self.ests)}
+
+
+def measure_backend(backend, short=2000, long_=22000, repeats=3):
+    """Sequential-repeats wrapper around TwoPointMeter (kept for the
+    single-config default mode and the probe scripts)."""
+    meter = TwoPointMeter(backend, short, long_)
+    for _ in range(repeats):
+        meter.sweep()
+    return meter.result()
 
 
 def measure_iters_to_gap(nx=512, ny=512, lmb=16.0, gap_tol=1e-6,
@@ -407,155 +430,182 @@ def _fields(meas, baseline=None):
     return out
 
 
-def _extra(metric, meas, unit, baseline, banded=False, verify=None):
-    rec = {"metric": metric, **_fields(meas, baseline), "unit": unit}
-    if banded:
-        rec["hw_verified"] = verify or False
-    print(json.dumps(rec), file=sys.stderr, flush=True)
+def _all_configs():
+    """The full BASELINE.md sweep.  Per config: (metric, builder, short,
+    long, sweeps, baseline, banded).  Reference estimates per config are
+    documented inline (the reference publishes no numbers, BASELINE.md):
 
+    * rof512 headline: ~8 kernels/iter over 3.9 MB -> ~3000 it/s on
+      prost's target GPUs.
+    * tvl1: same structure, abs data term (example_tvl1.m).
+    * deblur512: ~15 kernels/iter incl. two cusparse csrmv over the
+      convmtx2 matrix -> ~1500 it/s.
+    * admm512: ~15 kernels + the cuBLAS CGLS loop -> ~600 it/s.
+    * multilabel256x8: ~9x rof-per-pixel work -> ~1500 it/s.
+    * tight128x4: 13 planes of state, ~12 kernels/iter -> ~2000 it/s.
+    * ensemble1024: the reference solves one instance at a time
+      (~5000 it/s launch-bound at 128^2).
+    * rof2048 / ml512x8 / admm2048: pixel-linear scaling of the above.
+    * vol256x8: gradient3d first-class operator, multilabel-like cost.
+    """
+    from prost_tpu.backend.admm import ADMMOptions
+    from prost_tpu.ops import FusedROFADMM
 
-def _time_to_tol(metric, iters, its_per_sec):
-    """Report seconds-to-tolerance: measured iteration count at the
-    reference stopping rule x measured device throughput.  No
-    vs_baseline — it would be algebraically identical to the throughput
-    ratio (same trajectory, reference iteration counts unpublished)."""
-    if iters is None:
-        print(json.dumps({
-            "metric": metric, "value": None, "unit": "s",
-            "note": "tolerance not reached (f32 residual floor)",
-        }), file=sys.stderr, flush=True)
-        return
-    print(json.dumps({
-        "metric": metric, "value": round(iters / its_per_sec, 4),
-        "unit": "s", "iterations": iters,
-    }), file=sys.stderr, flush=True)
+    def admm512():
+        _, prob = build_rof(512, 512)
+        return FusedROFADMM(prob, ADMMOptions(residual_iter=10),
+                            _solver_opts())
+
+    def admm2048():
+        _, prob = build_rof(2048, 2048)
+        a = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
+                         _solver_opts())
+        assert a.mode == "banded", a.mode
+        return a
+
+    return [
+        ("rof512_pdhg_iters_per_sec",
+         lambda: build_rof(512, 512)[0], 2000, 22000, 3, 3000.0, False),
+        ("tvl1_512_pdhg_iters_per_sec",
+         lambda: build_rof(512, 512, lmb=1.0, dataterm="abs")[0],
+         2000, 22000, 3, 3000.0, False),
+        ("deblur512_pdhg_iters_per_sec",
+         lambda: build_deblur(512, 512), 1000, 11000, 3, 1500.0, False),
+        ("rof512_admm_iters_per_sec", admm512, 500, 5500, 3, 600.0,
+         False),
+        ("multilabel256x8_pdhg_iters_per_sec",
+         lambda: build_multilabel(256, 256, L=8), 500, 5500, 3, 1500.0,
+         False),
+        ("tight128x4_pdhg_iters_per_sec",
+         lambda: build_tight(128, 128, L=4), 2000, 22000, 3, 2000.0,
+         False),
+        ("ensemble1024x128_instance_iters_per_sec",
+         lambda: build_ensemble(1024, 128, 128), 100, 1100, 2, 5000.0,
+         False),
+        ("vol256x8_pdhg_iters_per_sec",
+         lambda: build_vol(8, 256, 256), 500, 5500, 3, 1500.0, False),
+        ("rof2048_banded_iters_per_sec",
+         lambda: build_rof(2048, 2048)[0], 200, 2200, 2, 187.0, True),
+        ("multilabel512x8_banded_iters_per_sec",
+         lambda: build_multilabel(512, 512, L=8), 200, 2200, 2, 375.0,
+         True),
+        ("rof2048_admm_banded_iters_per_sec", admm2048, 100, 1100, 2,
+         37.5, True),
+    ]
 
 
 def main(argv):
     run_all = "--all" in argv
+    out_path = None
+    if "--out" in argv:
+        out_path = argv[argv.index("--out") + 1]
 
-    meas = measure_backend(build_rof(512, 512)[0])
-    its_per_sec = meas["value"]
-    baseline = 3000.0
-    print(json.dumps({
-        "metric": "rof512_pdhg_iters_per_sec",
-        **_fields(meas, baseline),
-        "unit": "it/s",
-    }))
+    if not run_all:
+        meas = measure_backend(build_rof(512, 512)[0])
+        print(json.dumps({
+            "metric": "rof512_pdhg_iters_per_sec",
+            **_fields(meas, 3000.0),
+            "unit": "it/s",
+        }))
+        return 0
 
-    if run_all:
-        verify = _latest_verify()
-        # Headline companion metric: time to 1e-6/px primal-dual gap on
-        # ROF 512x512 (BASELINE.md).  Device seconds = iterations-to-gap
-        # / measured throughput (host gap checks are tunnel artifacts,
-        # not chip time).
-        iters_gap = measure_iters_to_gap()
-        _time_to_tol("rof512_seconds_to_gap_1e-6_per_px", iters_gap,
-                     its_per_sec)
-        # TV-L1 512x512 (BASELINE config 2 core iteration; fused abs
-        # path).  Reference stopping tolerance: 1e-7 (example_tvl1.m:47-53).
-        m = measure_backend(build_rof(512, 512, lmb=1.0, dataterm="abs")[0])
-        _extra("tvl1_512_pdhg_iters_per_sec", m, "it/s", 3000.0)
-        it = measure_iters_to_tol(
-            lambda so: build_rof(512, 512, lmb=1.0, dataterm="abs",
-                                 sopts=so)[0], 1e-7)
-        _time_to_tol("tvl1_512_seconds_to_tol_1e-7", it, m["value"])
-        # TV deblurring 512x512 on the blurred cow fixture (full config
-        # 2: conv + gradient blocks, fused deblur kernel with the conv as
-        # in-kernel shifted-adds).  Reference: ~15 kernels/iter incl. two
-        # cusparse csrmv over the convmtx2 matrix; ~1500 it/s estimate on
-        # prost's target GPUs.  Stopping tolerance: 1e-4 (options.m:4-8).
-        m = measure_backend(build_deblur(512, 512), short=1000, long_=11000)
-        _extra("deblur512_pdhg_iters_per_sec", m, "it/s", 1500.0)
-        it = measure_iters_to_tol(
-            lambda so: build_deblur(512, 512, sopts=so), 1e-4, check=1000,
-            max_iters=100_000)
-        _time_to_tol("deblur512_seconds_to_tol_1e-4", it, m["value"])
-        # ADMM on ROF 512x512 (config 4; fused Pallas chunk incl. the
-        # <=10-step CGLS inner loop = ~20 operator applies/iteration).
-        # Reference estimate: ~15 kernels + the cuBLAS CG loop per
-        # iteration, ~600 it/s on prost's target GPUs.  Stopping: 1e-4
-        # (options.m defaults).
-        from prost_tpu.backend.admm import ADMMOptions
-        from prost_tpu.ops import FusedROFADMM
+    verify = _latest_verify()
+    records = []
 
-        _, prob = build_rof(512, 512)
-        admm = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
-                            _solver_opts())
-        m = measure_backend(admm, short=500, long_=5500, repeats=2)
-        _extra("rof512_admm_iters_per_sec", m, "it/s", 600.0)
+    # Phase 1 — throughput sweep, ROUND-ROBIN interleaved: build + warm
+    # every config (compiles happen here), then rotate (short, long)
+    # timing pairs across configs so tunnel contention hits all of them
+    # equally (round-3 verdict, weak #7: per-config sequential repeats
+    # let one bad hour corrupt whichever config ran then).
+    configs = _all_configs()
+    meters = []
+    for name, builder, short, long_, sweeps, baseline, banded in configs:
+        print(f"# warm {name}", file=sys.stderr, flush=True)
+        meters.append(TwoPointMeter(builder(), short, long_))
+    max_sweeps = max(c[4] for c in configs)
+    for s in range(max_sweeps):
+        for (name, _, _, _, sweeps, _, _), meter in zip(configs, meters):
+            if s < sweeps:
+                print(f"# sweep {s} {name}", file=sys.stderr, flush=True)
+                meter.sweep()
 
-        def make_admm(so):
-            _, p = build_rof(512, 512)
-            return FusedROFADMM(p, ADMMOptions(residual_iter=10), so)
+    results = {}
+    for (name, _, _, _, _, baseline, banded), meter in zip(configs,
+                                                           meters):
+        m = meter.result()
+        if name.startswith("ensemble"):
+            B = 1024
+            m = {**m, "value": m["value"] * B, "min": m["min"] * B,
+                 "max": m["max"] * B}
+        results[name] = m
+        rec = {"metric": name, **_fields(m, baseline), "unit": "it/s"}
+        if banded:
+            rec["hw_verified"] = verify or False
+        records.append(rec)
+        if name == "rof512_pdhg_iters_per_sec":
+            print(json.dumps(rec), flush=True)  # the stdout headline
+        else:
+            print(json.dumps(rec), file=sys.stderr, flush=True)
+    del meters  # free the states before the solve phase
 
-        it = measure_iters_to_tol(make_admm, 1e-4, check=500,
-                                  max_iters=50_000)
-        _time_to_tol("rof512_admm_seconds_to_tol_1e-4", it, m["value"])
-        # multilabel 8 labels 256x256 on the cow fixture (config 3; fused
-        # multilabel path).  The reference's per-iteration work is ~9x the
-        # ROF 512 case per pixel-label; CUDA estimate ~1500 it/s at this
-        # size.  Stopping tolerance: 1e-5 (example_multilabel_fast.m:55-60).
-        m = measure_backend(build_multilabel(256, 256, L=8),
-                            short=500, long_=5500)
-        _extra("multilabel256x8_pdhg_iters_per_sec", m, "it/s", 1500.0)
-        it = measure_iters_to_tol(
-            lambda so: build_multilabel(256, 256, L=8, sopts=so), 1e-5,
-            check=1000, max_iters=100_000)
-        _time_to_tol("multilabel256x8_seconds_to_tol_1e-5", it, m["value"])
-        # tight multilabel relaxation 128x128, 4 labels (config 3's
-        # heavier variant: 6 pairwise multiplier planes).  Reference
-        # estimate ~2000 it/s (13 planes of state, ~12 kernels/iter).
-        # Stopping tolerance: 2e-6 (example_multilabel_tight.m:97-102).
-        m = measure_backend(build_tight(128, 128, L=4))
-        _extra("tight128x4_pdhg_iters_per_sec", m, "it/s", 2000.0)
-        it = measure_iters_to_tol(
-            lambda so: build_tight(128, 128, L=4, sopts=so), 2e-6,
-            check=2000, max_iters=200_000)
-        _time_to_tol("tight128x4_seconds_to_tol_2e-6", it, m["value"])
-        # 1024-instance ROF ensemble at 128x128 (config 5).  Metric:
-        # instance-iterations/sec.  The reference runs one instance at a
-        # time (~5000 it/s at this launch-bound size), so its
-        # instance-iteration rate IS its single-solve rate.
-        B = 1024
-        m = measure_backend(build_ensemble(B, 128, 128),
-                            short=100, long_=1100, repeats=2)
-        m = {**m, "value": m["value"] * B, "min": m["min"] * B,
-             "max": m["max"] * B}
-        _extra("ensemble1024x128_instance_iters_per_sec", m, "it/s",
-               5000.0)
-        # Large sizes through the grid-banded kernels (the whole-plane
-        # VMEM cap would otherwise force the 6-17x slower generic path):
-        # ROF 2048x2048 (8 bands; reference csrmv/kernel streaming scales
-        # pixel-linearly from ~3000 it/s at 512^2 -> ~187 it/s) and
-        # multilabel 512x512x8 (4 bands; ~375 it/s scaled from 1500).
-        # hw_verified names the VERIFY_r*.json artifact backing the
-        # banded kernels' hardware bit-equivalence.
-        m = measure_backend(build_rof(2048, 2048)[0],
-                            short=200, long_=2200, repeats=2)
-        _extra("rof2048_banded_iters_per_sec", m, "it/s", 187.0,
-               banded=True, verify=verify)
-        m = measure_backend(build_multilabel(512, 512, L=8),
-                            short=200, long_=2200, repeats=2)
-        _extra("multilabel512x8_banded_iters_per_sec", m, "it/s", 375.0,
-               banded=True, verify=verify)
-        # volumetric TV 8x256x256 (gradient3d; round-3 fused path — the
-        # reference treats gradient3d as first-class, per-voxel cost ~ the
-        # multilabel case: ~1500 it/s estimate at this size)
-        m = measure_backend(build_vol(8, 256, 256), short=500, long_=5500,
-                            repeats=2)
-        _extra("vol256x8_pdhg_iters_per_sec", m, "it/s", 1500.0)
-        # banded Chebyshev-ADMM at 2048x2048 (round-3: the last size
-        # cliff removed — previously fell to the ~2.5k-at-512^2-scaled
-        # generic path; pixel-linear reference estimate 600/16 = 37.5)
-        _, prob = build_rof(2048, 2048)
-        admm = FusedROFADMM(prob, ADMMOptions(residual_iter=10),
-                            _solver_opts())
-        assert admm.mode == "banded", admm.mode
-        m = measure_backend(admm, short=100, long_=1100, repeats=2)
-        _extra("rof2048_admm_banded_iters_per_sec", m, "it/s", 37.5,
-               banded=True, verify=verify)
+    # Phase 2 — seconds-to-tolerance at the reference stopping rules
+    # (device seconds = measured iterations x measured throughput; host
+    # checks are tunnel artifacts, not chip time)
+    from prost_tpu.backend.admm import ADMMOptions
+    from prost_tpu.ops import FusedROFADMM
 
+    def rec_tol(metric, iters, its_per_sec):
+        if iters is None:
+            r = {"metric": metric, "value": None, "unit": "s",
+                 "note": "tolerance not reached (f32 residual floor)"}
+        else:
+            r = {"metric": metric, "value": round(iters / its_per_sec, 4),
+                 "unit": "s", "iterations": iters}
+        records.append(r)
+        print(json.dumps(r), file=sys.stderr, flush=True)
+
+    iters_gap = measure_iters_to_gap()
+    rec_tol("rof512_seconds_to_gap_1e-6_per_px", iters_gap,
+            results["rof512_pdhg_iters_per_sec"]["value"])
+    it = measure_iters_to_tol(
+        lambda so: build_rof(512, 512, lmb=1.0, dataterm="abs",
+                             sopts=so)[0], 1e-7)
+    rec_tol("tvl1_512_seconds_to_tol_1e-7", it,
+            results["tvl1_512_pdhg_iters_per_sec"]["value"])
+    it = measure_iters_to_tol(
+        lambda so: build_deblur(512, 512, sopts=so), 1e-4, check=1000,
+        max_iters=100_000)
+    rec_tol("deblur512_seconds_to_tol_1e-4", it,
+            results["deblur512_pdhg_iters_per_sec"]["value"])
+
+    def make_admm(so):
+        _, p = build_rof(512, 512)
+        return FusedROFADMM(p, ADMMOptions(residual_iter=10), so)
+
+    it = measure_iters_to_tol(make_admm, 1e-4, check=500,
+                              max_iters=50_000)
+    rec_tol("rof512_admm_seconds_to_tol_1e-4", it,
+            results["rof512_admm_iters_per_sec"]["value"])
+    it = measure_iters_to_tol(
+        lambda so: build_multilabel(256, 256, L=8, sopts=so), 1e-5,
+        check=1000, max_iters=100_000)
+    rec_tol("multilabel256x8_seconds_to_tol_1e-5", it,
+            results["multilabel256x8_pdhg_iters_per_sec"]["value"])
+    it = measure_iters_to_tol(
+        lambda so: build_tight(128, 128, L=4, sopts=so), 2e-6,
+        check=2000, max_iters=200_000)
+    rec_tol("tight128x4_seconds_to_tol_2e-6", it,
+            results["tight128x4_pdhg_iters_per_sec"]["value"])
+
+    if out_path:
+        with open(out_path, "w") as fh:
+            json.dump({
+                "date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                "interleaved": True,
+                "hw_verified": verify or False,
+                "records": records,
+            }, fh, indent=1)
+        print(f"# wrote {out_path}", file=sys.stderr, flush=True)
     return 0
 
 

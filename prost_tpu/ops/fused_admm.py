@@ -1154,6 +1154,8 @@ class FusedROFADMM(BackendADMM):
     def __init__(self, problem, opts, solver_opts, interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
         self.interpret = interpret
+        # chunks per multi-chunk launch (phase B0); 0 disables for A/B
+        self.k_chunks = _K_CHUNKS
         usable = (jax.default_backend() != "cpu") or interpret
         usable = usable and opts.projection in ("auto", "cgls", "cheby")
         self.rof = match_rof_structure(problem) if usable else None
@@ -1213,7 +1215,7 @@ class FusedROFADMM(BackendADMM):
             return _fused_admm_run(
                 self.problem, self.prox_g, self.prox_f, self.run_opts,
                 self.run_plan, r["nx"], r["ny"], r["lmb"], r["dataterm"],
-                self.mode == "cheby", self.interpret,
+                self.mode == "cheby", self.k_chunks, self.interpret,
                 tols, r["f"], r["w"], jnp.asarray(r["radius"], jnp.float32),
                 state, jnp.asarray(until_iter, jnp.int32),
             )
@@ -1228,11 +1230,11 @@ class FusedROFADMM(BackendADMM):
             return super().run(state, until_iter)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(16,))
 def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
-                    dataterm, cheby, interpret, tols, f_plane, w_plane,
-                    radius, state, until):
+                    dataterm, cheby, k_chunks, interpret, tols, f_plane,
+                    w_plane, radius, state, until):
     """Chunked ADMM run.  The generic path computes residuals when the
     post-increment counter hits a multiple of residual_iter
     (backend/admm.py admm_step), so chunks start at iteration % ri == 0 —
@@ -1296,7 +1298,7 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
             s.x_dual.reshape(nx, ny), s.z_half.reshape(2, nx, ny),
             s.z_proj.reshape(2, nx, ny), s.z_dual.reshape(2, nx, ny),
             s.cg_warm.reshape(nx, ny), f_plane, w_plane, scal11,
-            ri, _K_CHUNKS, opts.alpha, opts.cheby_degree,
+            ri, k_chunks, opts.alpha, opts.cheby_degree,
             admm_adapt_consts(problem, opts), dataterm=dataterm,
             interpret=interpret)
         done = sc[5].astype(jnp.int32)
@@ -1321,10 +1323,11 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
 
     # phase B0 (Chebyshev projection only — no per-iteration CG tolerance
     # schedule in-kernel): multi-chunk launches with in-kernel
-    # rho-adaptation, _K_CHUNKS * ri iterations per kernel call
-    if cheby:
+    # rho-adaptation, k_chunks * ri iterations per kernel call
+    # (k_chunks=0 disables the phase for A/B probes)
+    if cheby and k_chunks > 0:
         def cond_b0(s):
-            return (s.iteration + _K_CHUNKS * ri <= until) & ~s.converged
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
 
         state = lax.while_loop(cond_b0, multi_chunk, state)
 

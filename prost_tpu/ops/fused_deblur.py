@@ -91,13 +91,6 @@ def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
     else:
         region = (ri < nx) & (ci < ny)
 
-    def roll2(u, dx, dy):
-        if dx:
-            u = roll(u, dx, 0)
-        if dy:
-            u = roll(u, dy, 1)
-        return u
-
     def tree_sum(terms):
         # pairwise tree instead of a left fold: the rolls are mutually
         # independent, but f32 adds cannot be compiler-reassociated, so a
@@ -118,14 +111,31 @@ def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
             terms = nxt
         return terms[0]
 
+    def grouped_terms(u, shifts):
+        """Taps sharing a row shift share ONE row-rolled plane (round-3
+        verdict stretch #9): rolls drop from 2T to (#distinct dx + T).
+        For a dense k x k kernel that halves the roll count (k + k^2 vs
+        2 k^2); for the bench's diagonal motion kernel every tap has a
+        distinct dx, so the count is unchanged there — the kernel stays
+        issue-bound on its 2T rolls (see PERFORMANCE.md deblur
+        analysis)."""
+        groups = {}
+        for dx, dy, w in shifts:
+            groups.setdefault(dx, []).append((dy, w))
+        terms = []
+        for dx, g in groups.items():
+            ux = roll(u, dx, 0) if dx else u
+            terms += [w * (roll(ux, dy, 1) if dy else ux) for dy, w in g]
+        return terms
+
     def fwd(u):
-        return tree_sum([w * roll2(u, dx, dy) for dx, dy, w in taps])
+        return tree_sum(grouped_terms(u, [(dx, dy, w)
+                                          for dx, dy, w in taps]))
 
     def adj(v):
-        acc = tree_sum([
-            w * roll2(v, (nx2 - dx) % nx2, (ny2 - dy) % ny2)
-            for dx, dy, w in taps
-        ])
+        acc = tree_sum(grouped_terms(
+            v, [((nx2 - dx) % nx2, (ny2 - dy) % ny2, w)
+                for dx, dy, w in taps]))
         return jnp.where(region, acc, 0.0)
 
     return fwd, adj, region
@@ -510,11 +520,155 @@ def _deblur_banded_kernel(scal_ref, off_ref, x_hbm, yv_hbm, q_hbm, fb_hbm,
              h.at[..., pl.ds(lo, rows), :]) for s, h in outs])
 
 
+def _deblur_banded_db_kernel(scal_ref, off_ref, x_hbm, yv_hbm, q_hbm,
+                             fb_hbm, sv_hbm,
+                             xo, yvo, qo, xpo, yvpo, qpo, norms_ref,
+                             xs2, yvs2, qs2, fbs2, svs2, qps2,
+                             in_sem, out_sem, *,
+                             count: int, nx: int, ny: int, taps,
+                             sig_q: float, tau_t: float, nx2: int,
+                             rows: int, halo: int, n_bands: int,
+                             own_lo: int):
+    """DOUBLE-BUFFERED grid-banded deblur chunk.  The conv has no row
+    masks (it relies on zero halo rows, see `_conv_ops`), so the edge
+    bands' fetches are CONDITIONAL (zero-fill + valid-row fetch instead
+    of a full window) — each band's copy set is rebuilt identically at
+    start and wait time (the branch depends only on the band index), so
+    the shared run_banded_db helper does not fit and the pipeline is
+    inlined here with per-branch predication."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    i = pl.program_id(0)
+    p = lax.rem(i, 2)
+    ext = xs2.shape[1]
+    r8, h8 = rows // 8, halo // 8
+    valid = ext - halo
+
+    ins = ((x_hbm, xs2), (yv_hbm, yvs2), (q_hbm, qs2), (fb_hbm, fbs2),
+           (sv_hbm, svs2))
+
+    def copies(src_lo, dst_lo, size, buf, sem):
+        return [pltpu.make_async_copy(
+            h.at[..., pl.ds(src_lo, size), :],
+            s.at[buf, ..., pl.ds(dst_lo, size), :], sem)
+            for h, s in ins]
+
+    def for_in(j, buf, act):
+        """Apply ``act`` ('start'/'wait') to band j's conditional fetch
+        set on ping-pong buffer ``buf``."""
+        sem = in_sem.at[buf]
+        if own_lo:
+            # sharded block: uniform interior windows, no edge branches
+            start = 8 * (own_lo // 8 + j * r8 - h8)
+            for c in copies(start, 0, ext, buf, sem):
+                getattr(c, act)()
+            return
+        first = j == 0
+        last = j == n_bands - 1
+
+        @pl.when(first)
+        def _():
+            for c in copies(0, halo, valid, buf, sem):
+                getattr(c, act)()
+
+        @pl.when(last & jnp.logical_not(first))
+        def _():
+            for c in copies(nx2 - valid, 0, valid, buf, sem):
+                getattr(c, act)()
+
+        if n_bands > 2:
+            @pl.when(jnp.logical_not(first) & jnp.logical_not(last))
+            def _():
+                # max() keeps the offset nonnegative when the descriptor
+                # is built for a predicated-off edge band (j may be a
+                # concrete 0 / n_bands-1 at the pipeline boundaries)
+                src = 8 * jnp.maximum(j * r8 - h8, 0)
+                for c in copies(src, 0, ext, buf, sem):
+                    getattr(c, act)()
+
+    def zero_fill(j, buf):
+        """The edge bands' out-of-domain halo rows must be ZERO before
+        compute (the conv's roll wrap relies on it)."""
+        if own_lo:
+            return
+
+        def zero_rows(lo):
+            for _, s in ins:
+                s[buf, ..., pl.ds(lo, halo), :] = jnp.zeros(
+                    tuple(s.shape[1:-2]) + (halo, s.shape[-1]), s.dtype)
+
+        @pl.when(j == 0)
+        def _():
+            zero_rows(0)
+
+        @pl.when((j == n_bands - 1) & (j != 0))
+        def _():
+            zero_rows(valid)
+
+    def out_copies(j, buf):
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        outs = ((xs2, xo), (yvs2, yvo), (qs2, qo), (fbs2, xpo),
+                (svs2, yvpo), (qps2, qpo))
+        return [pltpu.make_async_copy(
+            s.at[buf, ..., pl.ds(halo, rows), :],
+            h.at[..., pl.ds(lo, rows), :], sem) for s, h in outs]
+
+    @pl.when(i == 0)
+    def _():
+        zero_fill(0, p)
+        for_in(0, p, "start")
+
+    for_in(i, p, "wait")
+
+    @pl.when(i >= 1)
+    def _():
+        for c in out_copies(i - 1, 1 - p):
+            c.wait()
+
+    @pl.when(i + 1 < n_bands)
+    def _():
+        zero_fill(i + 1, 1 - p)
+        for_in(i + 1, 1 - p, "start")
+
+    if own_lo:
+        start = 8 * (own_lo // 8 + i * r8 - h8)
+        row_offset = off_ref[0] + start
+    else:
+        row_offset = 8 * (i * r8 - h8)
+    halo_ctx = (row_offset, halo, halo + rows)
+    q = qs2[p]
+    (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
+        scal_ref[0], scal_ref[1], scal_ref[2], scal_ref[3], scal_ref[4],
+        xs2[p], yvs2[p], q[0], q[1], fbs2[p], svs2[p],
+        count, nx, ny, taps, sig_q, tau_t, pltpu.roll, halo_ctx=halo_ctx)
+    for j in range(4):
+        norms_ref[j, i] = norms[j]
+
+    xs2[p] = x2
+    yvs2[p] = yv2
+    qs2[p, 0] = qx2
+    qs2[p, 1] = qy2
+    fbs2[p] = xp
+    svs2[p] = yvp
+    qps2[p, 0] = qxp
+    qps2[p, 1] = qyp
+    for c in out_copies(i, p):
+        c.start()
+
+    @pl.when(i == n_bands - 1)
+    def _():
+        for c in out_copies(i, p):
+            c.wait()
+
+
 def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
                               radius, count, nx, ny, taps, sig_q, tau_t,
                               n_bands: int, interpret: bool = False,
                               own_lo: int = 0, out_rows: int | None = None,
-                              row_offset0=None):
+                              row_offset0=None,
+                              double_buffer: bool = False):
     """``count`` fused iterations with the (nx2, ny2) planes split into
     ``n_bands`` row bands inside ONE kernel.  Requires nx2 % n_bands == 0
     and rows % 8 == 0 (deblur_band_count only returns such tilings).
@@ -549,19 +703,34 @@ def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
     out_shape.append(jax.ShapeDtypeStruct((4, n_bands), x.dtype))
     dt = x.dtype
     vm = pltpu.VMEM
+    if double_buffer:
+        kern = partial(_deblur_banded_db_kernel, count=int(count), nx=nx,
+                       ny=ny, taps=taps, sig_q=sig_q, tau_t=tau_t,
+                       nx2=nin, rows=rows, halo=halo, n_bands=n_bands,
+                       own_lo=int(own_lo))
+        scratch = [
+            vm((2, ext, ny2), dt), vm((2, ext, ny2), dt),
+            vm((2, 2, ext, ny2), dt), vm((2, ext, ny2), dt),
+            vm((2, ext, ny2), dt), vm((2, 2, ext, ny2), dt),
+            pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+        ]
+    else:
+        kern = partial(_deblur_banded_kernel, count=int(count), nx=nx,
+                       ny=ny, taps=taps, sig_q=sig_q, tau_t=tau_t,
+                       nx2=nin, rows=rows, halo=halo, n_bands=n_bands,
+                       own_lo=int(own_lo))
+        scratch = [
+            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
+            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
+            pltpu.SemaphoreType.DMA,
+        ]
     outs = pl.pallas_call(
-        partial(_deblur_banded_kernel, count=int(count), nx=nx, ny=ny,
-                taps=taps, sig_q=sig_q, tau_t=tau_t, nx2=nin, rows=rows,
-                halo=halo, n_bands=n_bands, own_lo=int(own_lo)),
+        kern,
         grid=(n_bands,),
         out_shape=out_shape,
         in_specs=[smem, smem] + [hbm] * 5,
         out_specs=[hbm] * 6 + [smem],
-        scratch_shapes=[
-            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
-            vm((ext, ny2), dt), vm((ext, ny2), dt), vm((2, ext, ny2), dt),
-            pltpu.SemaphoreType.DMA,
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(scal, off, x, yv, q, fb, sv)
@@ -583,7 +752,7 @@ def deblur_banded_ok(nx2: int, n_bands: int) -> bool:
 
 
 def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
-                      itemsize: int = 4):
+                      itemsize: int = 4, double_buffer: bool = False):
     """Row-band tiling factor over the full-conv rows: smallest band count
     whose halo-extended bands keep ~18 live planes under the VMEM limit;
     1 = whole plane, None = no efficient tiling (halo wider than bands —
@@ -598,8 +767,10 @@ def deblur_band_count(nx2: int, ny2: int, residual_iter: int, taps,
     halo8 = -(-halo // 8) * 8  # the banded kernel rounds the halo up
     budget = int(0.75 * _VMEM_LIMIT)  # see fused_rof.band_count
 
+    n_planes = 30 if double_buffer else 18  # DB doubles the 6 windows
+
     def fits(rows, h):
-        return 18 * (rows + 2 * h) * ny2 * itemsize <= budget
+        return n_planes * (rows + 2 * h) * ny2 * itemsize <= budget
 
     for n_bands in range(2, nx2 + 1):
         if not deblur_banded_ok(nx2, n_bands):
@@ -758,11 +929,11 @@ def _embed(plane, nx2, ny2):
 
 
 @partial(jax.jit,
-         static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13),
-         donate_argnums=(17,))
+         static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14),
+         donate_argnums=(18,))
 def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
-                      taps, sig_q, tau_t, lmb, n_bands, interpret,
-                      tols, fb, sv, radius, state, until):
+                      taps, sig_q, tau_t, lmb, n_bands, double_buffer,
+                      interpret, tols, fb, sv, radius, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation via residual_and_adapt) ->
     K-product epilogue -> generic tail."""
@@ -792,7 +963,7 @@ def _fused_deblur_run(problem, prox_g, prox_fstar, opts, nx, ny, nx2, ny2,
             x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_banded(
                 x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,
                 ri, nx, ny, taps, sig_q, tau_t, n_bands,
-                interpret=interpret)
+                interpret=interpret, double_buffer=double_buffer)
         else:
             x2, yv2, q2, xp, yvp, qp, norms2 = deblur_fused_chunk_tiled(
                 x, yv, q, fb, sv, s.tau, s.sigma, s.theta, lmb, radius,

@@ -1231,6 +1231,9 @@ class FusedROFPDHG(BackendPDHG):
     def __init__(self, problem, opts, solver_opts, interpret: bool = False):
         super().__init__(problem, opts, solver_opts)
         self.interpret = interpret
+        # chunks per multi-chunk launch (phase B0); 0 disables the phase
+        # for launch-per-chunk A/B probes (tools/multichunk_probe.py)
+        self.k_chunks = _K_CHUNKS
         # alg2 mutates (tau, sigma, theta) every iteration; the fused burst
         # holds them fixed, so it only serves the constant/residual-adaptive
         # schemes (alg1, boyd, goldstein).  The Mosaic kernel needs a real
@@ -1293,6 +1296,11 @@ class FusedROFPDHG(BackendPDHG):
                     self.deblur = None
                 else:
                     self.deblur["n_bands"] = nb
+                    self.deblur["double_buffer"] = nb > 1 and nb == \
+                        deblur_band_count(
+                            self.deblur["nx2"], self.deblur["ny2"],
+                            opts.residual_iter, self.deblur["taps"],
+                            double_buffer=True)
         self.tight = None
         if usable and not (self.rof or self.ml or self.deblur):
             from .fused_tight import match_tight_structure, tight_band_count
@@ -1349,7 +1357,7 @@ class FusedROFPDHG(BackendPDHG):
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     r["nx"], r["ny"], r["lmb"], r["dataterm"],
                     r["n_bands"], r.get("double_buffer", False),
-                    self.interpret,
+                    self.k_chunks, self.interpret,
                     tols, r["f"], r["w"],
                     jnp.asarray(r["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1374,7 +1382,7 @@ class FusedROFPDHG(BackendPDHG):
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     d["nx"], d["ny"], d["nx2"], d["ny2"], d["taps"],
                     d["sig_q"], d["tau_t"], d["lmb"], d["n_bands"],
-                    self.interpret,
+                    d.get("double_buffer", False), self.interpret,
                     tols, d["fb"], d["sv"],
                     jnp.asarray(d["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1418,11 +1426,11 @@ class FusedROFPDHG(BackendPDHG):
         return super().run(state, until_iter)
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(15,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(16,))
 def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
-                   n_bands, double_buffer, interpret, tols, f_plane, w_plane,
-                   radius, state, until):
+                   n_bands, double_buffer, k_chunks, interpret, tols,
+                   f_plane, w_plane, radius, state, until):
     """Three phases around the single-kernel fused chunks (the in-kernel
     loop bound must be static for Mosaic):
 
@@ -1491,7 +1499,7 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
             jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
         ])
         x2, q2, xp, qp, norms, sc = rof_fused_multichunk(
-            x, q, f_plane, w_plane, scal13, ri, _K_CHUNKS, dataterm,
+            x, q, f_plane, w_plane, scal13, ri, k_chunks, dataterm,
             opts.stepsize, pdhg_adapt_consts(problem, opts),
             interpret=interpret)
         done = sc[6].astype(jnp.int32)
@@ -1516,10 +1524,11 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
     state = lax.while_loop(cond_a, generic, state)
 
     # phase B0 (whole-plane only): multi-chunk launches with in-kernel
-    # adaptation — _K_CHUNKS * ri iterations per kernel call
-    if n_bands == 1:
+    # adaptation — k_chunks * ri iterations per kernel call (k_chunks=0
+    # disables the phase, the launch-per-chunk A/B configuration)
+    if n_bands == 1 and k_chunks > 0:
         def cond_b0(s):
-            return (s.iteration + _K_CHUNKS * ri <= until) & ~s.converged
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
 
         state = lax.while_loop(cond_b0, multi_chunk, state)
 

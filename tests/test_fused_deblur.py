@@ -247,3 +247,41 @@ def test_sharded_fused_deblur_matches_generic(n_shards):
     np.testing.assert_allclose(np.asarray(ss.x), np.asarray(gs.x), atol=2e-5)
     np.testing.assert_allclose(np.asarray(ss.y), np.asarray(gs.y), atol=2e-5)
     np.testing.assert_allclose(float(ss.tau), float(gs.tau), rtol=1e-6)
+
+
+@pytest.mark.parametrize("n_bands", [2, 4])
+def test_deblur_banded_double_buffer_matches_whole(n_bands):
+    """The double-buffered banded deblur kernel (inlined conditional
+    pipeline: edge bands zero-fill + fetch valid rows, interior bands
+    full windows) must match the whole-plane kernel."""
+    nx = ny = 122
+    k = 7
+    nx2 = ny2 = nx + k - 1  # 128: nb=2 -> 64 rows, nb=4 -> 32 >= halo 24
+    taps = tuple((dx, dy, 1.0 / (16 * (1 + dx + dy)))
+                 for dx in range(0, k, 2) for dy in range(0, k, 2))
+    rng = np.random.RandomState(27)
+
+    def emb(a):
+        out = np.zeros(a.shape[:-2] + (nx2, ny2), np.float32)
+        out[..., :nx, :ny] = a
+        return jnp.asarray(out)
+
+    x = emb(rng.rand(nx, ny).astype(np.float32))
+    q = emb(0.2 * rng.randn(2, nx, ny).astype(np.float32))
+    yv = jnp.asarray(0.1 * rng.randn(nx2, ny2), jnp.float32)
+    fb = jnp.asarray(rng.rand(nx2, ny2), jnp.float32)
+    sv = jnp.asarray(0.5 + rng.rand(nx2, ny2), jnp.float32)
+    from prost_tpu.ops.fused_deblur import (deblur_fused_chunk,
+                                            deblur_fused_chunk_banded)
+
+    # ri=1 keeps the conv-reach halo (8-rounded 24) within 32-row bands
+    args = (0.9, 1.1, 1.0, 25.0, 0.5, 1, nx, ny, taps, 0.5, 0.2)
+    ref = deblur_fused_chunk(x, yv, q, fb, sv, *args, interpret=True)
+    db = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args, n_bands,
+                                   interpret=True, double_buffer=True)
+    for i, (a, b) in enumerate(zip(ref[:6], db[:6])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-7, rtol=3e-7,
+                                   err_msg=f"out[{i}]")
+    np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(db[6]),
+                               rtol=1e-5, atol=1e-10)

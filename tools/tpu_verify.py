@@ -189,7 +189,14 @@ def verify_deblur():
     ban4 = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args4, 4)
     ok = all(_check(f"nb4 out[{i}]", a, b) for i, (a, b) in
              enumerate(zip(ref4[:6], ban4[:6]))) and ok
-    return ok and _check("nb4 norms", ref4[6], ban4[6], tol=1e-5)
+    ok = _check("nb4 norms", ref4[6], ban4[6], tol=1e-5) and ok
+    # double-buffered variant (round-4): inlined conditional pipeline
+    # (edge bands zero-fill + valid-row fetch)
+    db4 = deblur_fused_chunk_banded(x, yv, q, fb, sv, *args4, 4,
+                                    double_buffer=True)
+    ok = all(_check(f"db out[{i}]", a, b) for i, (a, b) in
+             enumerate(zip(ref4[:6], db4[:6]))) and ok
+    return ok and _check("db norms", ref4[6], db4[6], tol=1e-5)
 
 
 def verify_admm():
