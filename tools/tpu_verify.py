@@ -517,11 +517,21 @@ def verify_sharded_banded_deblur():
     args = (0.9, 1.1, 1.0, 25.0, 0.5, 4, nx, ny, taps, 0.5, 0.2)
     ref = deblur_fused_chunk(x, yv, q, fb, sv, *args)
 
-    halo8 = 64  # 8-rounded (2*ri+2 + 2*(k-1)) conv-reach halo for ri=4
-    blk = slice(256 - halo8, 512)  # shard 1 owns padded rows [256, 512)
+    halo8 = 64  # 8-rounded (2*ri+2)*reach conv halo for ri=4
+    # shard 1 owns padded rows [256, 512); the halo-extended block the
+    # real sharded path builds has halo rows on BOTH sides (ppermute
+    # zero-fills past the domain edge) — the deblur kernel's uniform
+    # interior windows REQUIRE the bottom halo to exist (no clamping;
+    # omitting it DMAs out of bounds and kills the device context)
+    blk = slice(256 - halo8, 512)
+
+    def ext_blk(a):
+        pad = [(0, 0)] * (a.ndim - 2) + [(0, halo8), (0, 0)]
+        return jnp.pad(a[..., blk, :], pad)
+
     outs = deblur_fused_chunk_banded(
-        x[blk], yv[blk], q[:, blk], fb[blk], sv[blk], *args, 2,
-        own_lo=halo8, out_rows=256,
+        ext_blk(x), ext_blk(yv), ext_blk(q), ext_blk(fb), ext_blk(sv),
+        *args, 2, own_lo=halo8, out_rows=256,
         row_offset0=jnp.asarray(256 - halo8, jnp.int32))
     own = slice(256, None)
     ok = _check("x2", ref[0][own], outs[0])
