@@ -1081,11 +1081,14 @@ def admm_chunk_band_plan(nx: int, ny: int, degree: int,
                          itemsize: int = 4):
     """Band tiling for `admm_banded_chunk`: smallest divisor ``n_bands``
     of nx (rows an 8-multiple, >= the halo) whose windows fit the VMEM
-    budget.  Prefers the double-buffered footprint (~16 window planes +
-    temporaries ~= 36) when it tiles at the same n_bands as the
-    single-buffer footprint (~22) — mirroring the ROF routing guard
-    (fused_rof.py) — else falls back to single-buffer.  Returns
-    (n_bands, double_buffer) or None."""
+    budget, PREFERRING the double-buffered footprint (~18 window planes
+    + temporaries ~= 36) even when it forces a wider tiling than the
+    single-buffer footprint (~22) — the opposite of the ROF guard,
+    because this kernel refetches its windows every ITERATION, so hiding
+    the DMA dominates the halo-recompute cost.  MEASURED at ROF ADMM
+    2048^2 e2e (tools/admm_tile_probe session, 2026-08-21): nb=16 db
+    1635 it/s > nb=8 db 1554 > nb=16 single 1346 > nb=8 single 1188.
+    Returns (n_bands, double_buffer) or None."""
     budget = int(0.75 * _VMEM_LIMIT)
     halo = admm_cheby_halo_rows(degree)
 
@@ -1100,8 +1103,10 @@ def admm_chunk_band_plan(nx: int, ny: int, degree: int,
             continue
         if fits(n_bands, 36):
             return n_bands, True
+    for n_bands in range(2, nx + 1):
+        if nx % n_bands:
+            continue
         if fits(n_bands, 22):
-            # double buffer would force a wider tiling: single-buffer
             return n_bands, False
     return None
 

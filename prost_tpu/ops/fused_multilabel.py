@@ -275,6 +275,114 @@ def ml_fused_chunk_halo(u, q, s, f, scal, count, nx_global,
                            interpret)
 
 
+def _ml_multichunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
+                          uo_ref, qo_ref, so_ref, upo_ref, qpo_ref,
+                          spo_ref, norms_ref, sout_ref, *,
+                          count: int, k_chunks: int, L: int,
+                          stepsize: str, consts):
+    """``k_chunks`` residual_iter-sized multilabel chunks in ONE kernel
+    with the boyd/goldstein adaptation and convergence test run
+    IN-KERNEL between chunks — the multilabel analog of
+    fused_rof._rof_multichunk_kernel (same scal/sout layout, with
+    [radius, d_s] in place of [lmb, radius]).
+
+    scal_ref (SMEM, 13): [tau, sigma, theta, radius, d_s, arg_alpha,
+    arb_l, arb_u, it0, tol_rel_p, tol_rel_d, tol_abs_p, tol_abs_d].
+    norms_ref (4): last executed chunk's norms (sqrt'd).  sout_ref (7):
+    [tau, sigma, arg_alpha, arb_l, arb_u, converged, chunks_done]."""
+    from .fused_rof import adapt_scalars
+
+    theta = scal_ref[2]
+    radius = scal_ref[3]
+    d_s = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+    u0 = u_ref[...]
+    q0 = q_ref[...]
+    s0 = s_ref[...]
+    f = f_ref[...]
+    zero = jnp.zeros((), u0.dtype)
+
+    def chunk(c, carry):
+        planes, scal, _ = carry
+        conv = scal[5]
+
+        def run(t):
+            planes_t, scal_t, _ = t
+            u, q, sm, _, _, _ = planes_t
+            tau_t, sigma_t, aa_t, al_t, au_t, _, done_t = scal_t
+            new, prev, nrm = _ml_chunk_core(
+                tau_t, sigma_t, theta, radius, d_s, u, q, sm, f,
+                count, L)
+            u2, qx2, qy2, s2 = new
+            up, qxp, qyp, sp = prev
+            q2 = jnp.concatenate([qx2, qy2], axis=0)
+            qp = jnp.concatenate([qxp, qyp], axis=0)
+            pr = jnp.sqrt(nrm[0])
+            pn_ = jnp.sqrt(nrm[1])
+            dr = jnp.sqrt(nrm[2])
+            dn_ = jnp.sqrt(nrm[3])
+            it = it0 + ((c + 1) * count - 1).astype(u0.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, tau_t, sigma_t, aa_t,
+                al_t, au_t, pr, pn_, dr, dn_)
+            return ((u2, q2, s2, up, qp, sp),
+                    (tau2, sigma2, aa2, al2, au2, cv, done_t + 1.0),
+                    (pr, pn_, dr, dn_))
+
+        return lax.cond(conv, lambda t: t, run, carry)
+
+    init = (
+        (u0, q0, s0, u0, q0, s0),
+        (scal_ref[0], scal_ref[1], scal_ref[5], scal_ref[6], scal_ref[7],
+         jnp.asarray(False), zero),
+        (zero, zero, zero, zero),
+    )
+    planes, scal, norms = lax.fori_loop(0, k_chunks, chunk, init)
+    u2, q2, s2, up, qp, sp = planes
+    tau, sigma, arg_alpha, arb_l, arb_u, conv, done = scal
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    for i, v in enumerate((tau, sigma, arg_alpha, arb_l, arb_u,
+                           conv.astype(u0.dtype), done)):
+        sout_ref[i] = v
+    uo_ref[...] = u2
+    qo_ref[...] = q2
+    so_ref[...] = s2
+    upo_ref[...] = up
+    qpo_ref[...] = qp
+    spo_ref[...] = sp
+
+
+def ml_fused_multichunk(u, q, s, f, scal13, count, k_chunks,
+                        stepsize: str, consts, interpret: bool = False):
+    """Up to ``k_chunks * count`` fused multilabel iterations in ONE
+    kernel with in-kernel adaptation/convergence (see
+    `_ml_multichunk_kernel`).  Returns (u2, q2, s2, u_prev, q_prev,
+    s_prev, norms, sout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L = u.shape[0]
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in (u, q, s, u, q, s)]
+    out_shape.append(jax.ShapeDtypeStruct((4,), u.dtype))
+    out_shape.append(jax.ShapeDtypeStruct((7,), u.dtype))
+    return pl.pallas_call(
+        partial(_ml_multichunk_kernel, count=int(count),
+                k_chunks=int(k_chunks), L=L, stepsize=stepsize,
+                consts=consts),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 4,
+        out_specs=[plane] * 6 + [smem, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, u, q, s, f)
+
+
 def _ml_chunk_kernel_batched(scal_ref, u_ref, q_ref, s_ref, f_ref,
                              uo_ref, qo_ref, so_ref,
                              upo_ref, qpo_ref, spo_ref, norms_ref, *,
@@ -744,11 +852,11 @@ def match_multilabel_structure(problem):
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(14,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
+         donate_argnums=(15,))
 def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
-                  double_buffer, interpret, tols, f_planes, radius, d_s,
-                  state, until):
+                  double_buffer, k_chunks, interpret, tols, f_planes,
+                  radius, d_s, state, until):
     """Phase structure identical to fused_rof._fused_rof_run: align ->
     single-kernel chunks (+ scalar adaptation) -> K-product epilogue ->
     generic tail."""
@@ -788,6 +896,32 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
         s = dataclasses.replace(s, iteration=s.iteration + ri)
         return (s, (u2, q2, s2, up, qp, sp))
 
+    def multi_chunk(carry):
+        from .fused_rof import pdhg_adapt_consts
+
+        s, (u, q, sm, _up, _qp, _sp) = carry
+        dt = u.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            radius.astype(dt), d_s.astype(dt),
+            s.arg_alpha, s.arb_l, s.arb_u, s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        u2, q2, s2, up, qp, sp, norms, sc = ml_fused_multichunk(
+            u, q, sm, f_planes, scal13, ri, k_chunks, opts.stepsize,
+            pdhg_adapt_consts(problem, opts), interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        s = dataclasses.replace(
+            s,
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+        return (s, (u2, q2, s2, up, qp, sp))
+
     align = 1 % ri
 
     def cond_a(s):
@@ -795,13 +929,23 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
 
     state = lax.while_loop(cond_a, generic, state)
 
+    planes0 = pack(state.x, state.y) + pack(state.x_prev, state.y_prev)
+
+    # phase B0 (whole-plane only): multi-chunk launches with in-kernel
+    # adaptation (cf. fused_rof phase B0); k_chunks=0 disables
+    if n_bands == 1 and k_chunks > 0:
+        def cond_b0(carry):
+            s = carry[0]
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
+
+        state, planes0 = lax.while_loop(cond_b0, multi_chunk,
+                                        (state, planes0))
+
     def cond_b(carry):
         s = carry[0]
         return (s.iteration + ri <= until) & ~s.converged
 
-    state, planes = lax.while_loop(
-        cond_b, fused_chunk,
-        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+    state, planes = lax.while_loop(cond_b, fused_chunk, (state, planes0))
 
     def unpack(ue, qe, se):
         return (ue.reshape(-1),

@@ -1369,7 +1369,8 @@ class FusedROFPDHG(BackendPDHG):
                 return _fused_ml_run(
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     m["nx"], m["ny"], m["L"], m["n_bands"],
-                    m.get("double_buffer", False), self.interpret,
+                    m.get("double_buffer", False), self.k_chunks,
+                    self.interpret,
                     tols, m["f"], jnp.asarray(m["radius"], jnp.float32),
                     jnp.asarray(m["d_s"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),
@@ -1409,7 +1410,7 @@ class FusedROFPDHG(BackendPDHG):
                     self.problem, self.prox_g, self.prox_fstar, self.opts,
                     v["L"], v["nx"], v["ny"], v["lmb"], v["dataterm"],
                     v["n_bands"], v.get("double_buffer", False),
-                    self.interpret,
+                    self.k_chunks, self.interpret,
                     tols, v["f"], v["w"],
                     jnp.asarray(v["radius"], jnp.float32),
                     state, jnp.asarray(until_iter, jnp.int32),

@@ -267,6 +267,105 @@ def vol_fused_chunk_halo(u, q, f, w, scal8, count, nx_global,
     )(scal8, u, q, f, w)
 
 
+def _vol_multichunk_kernel(scal_ref, u_ref, q_ref, f_ref, w_ref,
+                           uo_ref, qo_ref, upo_ref, qpo_ref,
+                           norms_ref, sout_ref, *,
+                           count: int, k_chunks: int, dataterm: str,
+                           stepsize: str, consts):
+    """``k_chunks`` residual_iter-sized volumetric chunks in ONE kernel
+    with IN-KERNEL boyd/goldstein adaptation and convergence test — the
+    vol analog of fused_rof._rof_multichunk_kernel.  Same scal/sout
+    layout as the ROF kernel ([lmb, radius] slots)."""
+    from .fused_rof import adapt_scalars
+
+    theta = scal_ref[2]
+    lmb = scal_ref[3]
+    radius = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+    u0 = u_ref[...]
+    q0 = q_ref[...]
+    f = f_ref[...]
+    w = w_ref[...]
+    zero = jnp.zeros((), u0.dtype)
+
+    def chunk(c, carry):
+        planes, scal, _ = carry
+        conv = scal[5]
+
+        def run(t):
+            planes_t, scal_t, _ = t
+            u, q, _, _ = planes_t
+            tau_t, sigma_t, aa_t, al_t, au_t, _, done_t = scal_t
+            u2, q2, up, qp, nrm = _vol_chunk_core(
+                tau_t, sigma_t, theta, lmb, radius, u, q, f, w,
+                count, dataterm)
+            pr = jnp.sqrt(nrm[0])
+            pn_ = jnp.sqrt(nrm[1])
+            dr = jnp.sqrt(nrm[2])
+            dn_ = jnp.sqrt(nrm[3])
+            it = it0 + ((c + 1) * count - 1).astype(u0.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, tau_t, sigma_t, aa_t,
+                al_t, au_t, pr, pn_, dr, dn_)
+            return ((u2, q2, up, qp),
+                    (tau2, sigma2, aa2, al2, au2, cv, done_t + 1.0),
+                    (pr, pn_, dr, dn_))
+
+        return lax.cond(conv, lambda t: t, run, carry)
+
+    init = (
+        (u0, q0, u0, q0),
+        (scal_ref[0], scal_ref[1], scal_ref[5], scal_ref[6], scal_ref[7],
+         jnp.asarray(False), zero),
+        (zero, zero, zero, zero),
+    )
+    planes, scal, norms = lax.fori_loop(0, k_chunks, chunk, init)
+    u2, q2, up, qp = planes
+    tau, sigma, arg_alpha, arb_l, arb_u, conv, done = scal
+    for i in range(4):
+        norms_ref[i] = norms[i]
+    for i, v in enumerate((tau, sigma, arg_alpha, arb_l, arb_u,
+                           conv.astype(u0.dtype), done)):
+        sout_ref[i] = v
+    uo_ref[...] = u2
+    qo_ref[...] = q2
+    upo_ref[...] = up
+    qpo_ref[...] = qp
+
+
+def vol_fused_multichunk(u, q, f, w, scal13, count, k_chunks,
+                         dataterm: str, stepsize: str, consts,
+                         interpret: bool = False):
+    """Up to ``k_chunks * count`` fused volumetric iterations in ONE
+    kernel with in-kernel adaptation/convergence.  Returns
+    (u2, q2, u_prev, q_prev, norms, sout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    plane = pl.BlockSpec(memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4,), u.dtype),
+        jax.ShapeDtypeStruct((7,), u.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_vol_multichunk_kernel, count=int(count),
+                k_chunks=int(k_chunks), dataterm=dataterm,
+                stepsize=stepsize, consts=consts),
+        out_shape=out_shape,
+        in_specs=[smem] + [plane] * 4,
+        out_specs=[plane] * 4 + [smem, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, u, q, f, w)
+
+
 def _vol_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, f_hbm, w_hbm,
                        uo, qo, upo, qpo, norms_ref,
                        us, qs, fs, ws, qps, sem, *,
@@ -576,11 +675,11 @@ def match_vol_structure(problem):
     }
 
 
-@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11),
-         donate_argnums=(16,))
+@partial(jax.jit, static_argnums=(3, 4, 5, 6, 7, 8, 9, 10, 11, 12),
+         donate_argnums=(17,))
 def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
-                   dataterm, n_bands, double_buffer, interpret, tols,
-                   f_vol, w_vol, radius, state, until):
+                   dataterm, n_bands, double_buffer, k_chunks, interpret,
+                   tols, f_vol, w_vol, radius, state, until):
     """Three-phase chunked run, identical structure to
     fused_rof._fused_rof_run."""
     ri = max(int(opts.residual_iter), 1)
@@ -613,12 +712,49 @@ def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
         )
         return dataclasses.replace(s, iteration=s.iteration + ri)
 
+    def multi_chunk(s: PDHGState) -> PDHGState:
+        from .fused_rof import pdhg_adapt_consts
+
+        u = s.x.reshape(L, nx, ny)
+        q = s.y.reshape(3, L, nx, ny)
+        dt = u.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, dt), radius.astype(dt),
+            s.arg_alpha, s.arb_l, s.arb_u, s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        u2, q2, up, qp, norms, sc = vol_fused_multichunk(
+            u, q, f_vol, w_vol, scal13, ri, k_chunks, dataterm,
+            opts.stepsize, pdhg_adapt_consts(problem, opts),
+            interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        return dataclasses.replace(
+            s,
+            x=u2.reshape(-1), y=q2.reshape(-1),
+            x_prev=up.reshape(-1), y_prev=qp.reshape(-1),
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+
     align = 1 % ri
 
     def cond_a(s):
         return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # phase B0 (whole-volume only): multi-chunk launches with in-kernel
+    # adaptation (cf. fused_rof phase B0); k_chunks=0 disables
+    if n_bands == 1 and k_chunks > 0:
+        def cond_b0(s):
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
+
+        state = lax.while_loop(cond_b0, multi_chunk, state)
 
     def cond_b(s):
         return (s.iteration + ri <= until) & ~s.converged

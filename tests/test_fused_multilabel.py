@@ -205,3 +205,35 @@ def test_ml_banded_double_buffer_matches_whole_plane(n_bands):
                                    atol=3e-7, rtol=3e-7)
     np.testing.assert_allclose(np.asarray(ref[6]), np.asarray(db[6]),
                                rtol=1e-5, atol=1e-10)
+
+
+@pytest.mark.parametrize("stepsize", ["boyd", "goldstein"])
+def test_ml_multichunk_matches_generic(stepsize):
+    """Phase B0 (multi-chunk ml launches with in-kernel adaptation) must
+    follow the launch-per-chunk trajectory exactly (cf. the ROF
+    multichunk test)."""
+    from prost_tpu.ops import FusedROFPDHG
+
+    nx = ny = 16
+    L = 3
+    prob, _ = ml_problem(nx, ny, L, lmb=0.5, seed=21)
+    popts = PDHGOptions(stepsize=stepsize, residual_iter=5,
+                        scale_steps_operator=False)
+    t = 1e-5
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=t,
+                             tol_rel_dual=t, tol_abs_primal=t,
+                             tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts)
+    gs = gen.run(gen.initial_state(), 200)  # > _K_CHUNKS * ri = 40
+    fus = FusedROFPDHG(prob, popts, sopts, interpret=True)
+    assert fus.ml is not None and fus.ml["n_bands"] == 1
+    fs = fus.run(fus.initial_state(), 200)
+
+    assert int(fs.iteration) == int(gs.iteration)
+    assert bool(fs.converged) == bool(gs.converged)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)

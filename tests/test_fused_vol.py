@@ -146,3 +146,30 @@ def test_vol_banded_double_buffer_matches_whole(n_bands):
                                    atol=3e-7, rtol=3e-7)
     np.testing.assert_allclose(np.asarray(ref[4]), np.asarray(db[4]),
                                rtol=1e-5, atol=1e-10)
+
+
+def test_vol_multichunk_matches_generic():
+    """Phase B0 (multi-chunk vol launches with in-kernel adaptation)
+    must follow the launch-per-chunk trajectory exactly."""
+    L, nx, ny = 4, 16, 16
+    rng = np.random.RandomState(28)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    t = 1e-5
+    sopts = _opts(tol_rel_primal=t, tol_rel_dual=t, tol_abs_primal=t,
+                  tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts)
+    gs = gen.run(gen.initial_state(), 200)  # > _K_CHUNKS * ri = 40
+    fus = FusedROFPDHG(prob, popts, sopts, interpret=True)
+    assert fus.vol is not None and fus.vol["n_bands"] == 1
+    fs = fus.run(fus.initial_state(), 200)
+
+    assert int(fs.iteration) == int(gs.iteration)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
