@@ -297,6 +297,76 @@ def _deblur_chunk_kernel(scal_ref, x_ref, yv_ref, q_ref, f_ref, sv_ref,
     qpo_ref[1] = qyp
 
 
+def _deblur_chunk_kernel_batched(scal_ref, x_ref, yv_ref, q_ref, f_ref,
+                                 sv_ref, xo_ref, yvo_ref, qo_ref,
+                                 xpo_ref, yvpo_ref, qpo_ref, norms_ref, *,
+                                 count: int, nx: int, ny: int, taps,
+                                 sig_q: float, tau_t: float):
+    """Gridded batch variant (cf. fused_rof._rof_chunk_kernel_batched):
+    grid = (B,), one instance per grid step; plane refs carry a leading
+    length-1 instance axis; scal_ref/norms_ref are the WHOLE (5, B) /
+    (4, B) SMEM arrays (instances-minor)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    q = q_ref[0]
+    (x2, yv2, qx2, qy2, xp, yvp, qxp, qyp, norms) = _chunk_core(
+        scal_ref[0, b], scal_ref[1, b], scal_ref[2, b], scal_ref[3, b],
+        scal_ref[4, b], x_ref[0], yv_ref[0], q[0], q[1], f_ref[0],
+        sv_ref[0], count, nx, ny, taps, sig_q, tau_t, pltpu.roll)
+    for i in range(4):
+        norms_ref[i, b] = norms[i]
+    xo_ref[0] = x2
+    yvo_ref[0] = yv2
+    qo_ref[0, 0] = qx2
+    qo_ref[0, 1] = qy2
+    xpo_ref[0] = xp
+    yvpo_ref[0] = yvp
+    qpo_ref[0, 0] = qxp
+    qpo_ref[0, 1] = qyp
+
+
+def deblur_fused_chunk_batched(x, yv, q, fb, sv, scal, count, nx, ny,
+                               taps, sig_q, tau_t,
+                               interpret: bool = False):
+    """Batched deblur chunk: grid over the instance axis — deblurring B
+    frames sharing one blur kernel (the natural video workload).
+    x/yv/fb/sv are (B, nx2, ny2), q is (B, 2, nx2, ny2), scal is (5, B)
+    instances-minor rows of [tau, sigma, theta, lmb, radius].  Returns
+    the same tuple as ``deblur_fused_chunk`` with a leading batch axis
+    and norms2 (4, B)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, nx2, ny2 = x.shape
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    pspec = pl.BlockSpec((1, nx2, ny2), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 2, nx2, ny2), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(yv.shape, yv.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(yv.shape, yv.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4, B), x.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_deblur_chunk_kernel_batched, count=int(count), nx=nx,
+                ny=ny, taps=taps, sig_q=sig_q, tau_t=tau_t),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=[smem, pspec, pspec, qspec, pspec, pspec],
+        out_specs=[pspec, pspec, qspec, pspec, pspec, qspec, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, x, yv, q, fb, sv)
+
+
 def _deblur_scal(x, tau, sigma, theta, lmb, radius):
     return jnp.stack([
         jnp.asarray(tau, x.dtype), jnp.asarray(sigma, x.dtype),

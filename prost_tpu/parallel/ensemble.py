@@ -85,9 +85,12 @@ class BatchedPDHG:
             self.prox_g = put(self.prox_g)
             self.prox_fstar = put(self.prox_fstar)
         self.rof = self._match_fused(problems, interpret)
-        self.ml = None
+        self.ml = self.deblur = None
         if self.rof is None:
             self.ml = self._match_fused_ml(problems, interpret)
+        if self.rof is None and self.ml is None:
+            self.deblur = self._match_fused_deblur(problems, backends,
+                                                   interpret)
 
     def _match_fused(self, problems, interpret):
         """Per-instance ROF structure matching for the batched fused Pallas
@@ -170,6 +173,46 @@ class BatchedPDHG:
             }
         return batched
 
+    def _match_fused_deblur(self, problems, backends, interpret):
+        """Per-instance deblur structure matching for the batched fused
+        path (grid = (B,), ops/fused_deblur.deblur_fused_chunk_batched)
+        — deblurring B frames sharing ONE blur kernel (the video
+        workload).  All instances must share (nx, ny, taps, sig_q,
+        tau_t); fb/sv/lmb/radius may differ per instance."""
+        from ..ops.fused_deblur import (deblur_fits_vmem,
+                                        match_deblur_structure)
+
+        usable = (jax.default_backend() != "cpu") or interpret
+        if not usable or self.opts.stepsize == "alg2":
+            return None
+        if self.opts.reference_residuals:
+            return None
+        ms = [match_deblur_structure(p, b.prox_g, b.prox_fstar)
+              for p, b in zip(problems, backends)]
+        if any(m is None for m in ms):
+            return None
+        keys = {(m["nx"], m["ny"], m["nx2"], m["ny2"], m["taps"],
+                 m["sig_q"], m["tau_t"]) for m in ms}
+        if len(keys) != 1:
+            return None
+        nx, ny, nx2, ny2, taps, sig_q, tau_t = keys.pop()
+        if not deblur_fits_vmem(nx2, ny2):
+            return None
+        batched = {
+            "nx": nx, "ny": ny, "nx2": nx2, "ny2": ny2, "taps": taps,
+            "sig_q": sig_q, "tau_t": tau_t,
+            "fb": jnp.stack([m["fb"] for m in ms]),
+            "sv": jnp.stack([m["sv"] for m in ms]),
+            "lmb": jnp.asarray([m["lmb"] for m in ms], jnp.float32),
+            "radius": jnp.asarray([m["radius"] for m in ms], jnp.float32),
+        }
+        if self.mesh is not None:
+            batched = {
+                k: (self._put_batched(v) if hasattr(v, "shape") else v)
+                for k, v in batched.items()
+            }
+        return batched
+
     def _put_batched(self, tree):
         sh = NamedSharding(self.mesh, P(self.axis_name))
         return jax.tree.map(lambda leaf: jax.device_put(leaf, sh), tree)
@@ -217,6 +260,19 @@ class BatchedPDHG:
                 )
             except jax.errors.JaxRuntimeError:
                 self.ml = None
+        if self.deblur is not None:
+            d = self.deblur
+            try:
+                return _batched_fused_deblur_run(
+                    self.opts, d["nx"], d["ny"], d["nx2"], d["ny2"],
+                    d["taps"], d["sig_q"], d["tau_t"],
+                    self.mesh, self.axis_name, self.interpret,
+                    self.batched_problem, self.prox_g, self.prox_fstar,
+                    d["fb"], d["sv"], d["lmb"], d["radius"],
+                    state, jnp.asarray(until_iter, jnp.int32), tols,
+                )
+            except jax.errors.JaxRuntimeError:
+                self.deblur = None
         return _batched_pdhg_run(
             self.opts, self.batched_problem, self.prox_g, self.prox_fstar,
             state, jnp.asarray(until_iter, jnp.int32), tols,
@@ -457,6 +513,125 @@ def _batched_fused_ml_run(opts, nx, ny, L, mesh, axis_name, interpret,
     state = lax.while_loop(cond_b, fused_chunk, state)
 
     # epilogue: refresh operator products (per instance)
+    vap = jax.vmap(lambda p, v: p.linop.apply(v))
+    vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
+    state = dataclasses.replace(
+        state,
+        kx=vap(batched_problem, state.x),
+        kty=vad(batched_problem, state.y),
+        kx_prev=vap(batched_problem, state.x_prev),
+        kty_prev=vad(batched_problem, state.y_prev),
+    )
+
+    def cond_c(s):
+        return jnp.any((s.iteration < until) & ~s.converged)
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
+         donate_argnums=(17,))
+def _batched_fused_deblur_run(opts, nx, ny, nx2, ny2, taps, sig_q, tau_t,
+                              mesh, axis_name, interpret,
+                              batched_problem, prox_g, prox_fstar,
+                              fb, sv, lmb, radius, state, until, tols):
+    """Batched analog of fused_deblur._fused_deblur_run: the gridded
+    batch kernel advances every instance one chunk per call on EMBEDDED
+    (nx2, ny2) planes carried across chunks (packed once per run)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..backend.pdhg import residual_and_adapt
+    from ..ops.fused_deblur import _embed, deblur_fused_chunk_batched
+
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    m2 = nx2 * ny2
+
+    def raw_chunk(x, yv, q, ff, ss, scal):
+        return deblur_fused_chunk_batched(
+            x, yv, q, ff, ss, scal, ri, nx, ny, taps, sig_q, tau_t,
+            interpret=interpret)
+
+    if mesh is not None and mesh.devices.size > 1:
+        bspec = P(axis_name)
+        sspec = P(None, axis_name)
+        chunk_call = jax.shard_map(
+            raw_chunk, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, bspec, bspec, sspec),
+            out_specs=(bspec, bspec, bspec, bspec, bspec, bspec, sspec),
+            check_vma=False,
+        )
+    else:
+        chunk_call = raw_chunk
+
+    def step_one(problem, pg, pf, s):
+        return pdhg_step(problem, pg, pf, opts, tols, s)
+
+    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+    def generic(s):
+        return vstep(batched_problem, prox_g, prox_fstar, s)
+
+    def vadapt(problem, s, n0, n1, n2, n3, it):
+        return residual_and_adapt(problem, opts, tols, s, n0, n1, n2, n3,
+                                  it)
+
+    vadapt = jax.vmap(vadapt, in_axes=(0, 0, 0, 0, 0, 0, 0))
+    vembed = jax.vmap(partial(_embed, nx2=nx2, ny2=ny2))
+
+    def pack(xf, yf):
+        B = xf.shape[0]
+        return (vembed(xf.reshape(B, nx, ny)),
+                yf[:, :m2].reshape(B, nx2, ny2),
+                vembed(yf[:, m2:].reshape(B, 2, nx, ny)))
+
+    def fused_chunk(carry):
+        s, (x, yv, q, _xp, _yvp, _qp) = carry
+        B = x.shape[0]
+        scal = jnp.stack(
+            [s.tau, s.sigma, s.theta,
+             jnp.broadcast_to(lmb, (B,)), jnp.broadcast_to(radius, (B,))],
+            axis=0)
+        x2, yv2, q2, xp, yvp, qp, norms2 = chunk_call(x, yv, q, fb, sv,
+                                                      scal)
+        norms = jnp.sqrt(norms2)
+        s = vadapt(batched_problem, s, norms[0], norms[1],
+                   norms[2], norms[3], s.iteration + ri - 1)
+        s = dataclasses.replace(s, iteration=s.iteration + ri)
+        return (s, (x2, yv2, q2, xp, yvp, qp))
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return jnp.any(
+            (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+        )
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(carry):
+        s = carry[0]
+        return jnp.any((s.iteration + ri <= until) & ~s.converged)
+
+    state, planes = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y) + pack(state.x_prev, state.y_prev)))
+
+    def unpack(xe, yve, qe):
+        B = xe.shape[0]
+        return (
+            xe[:, :nx, :ny].reshape(B, -1),
+            jnp.concatenate([yve.reshape(B, -1),
+                             qe[:, :, :nx, :ny].reshape(B, -1)], axis=1),
+        )
+
+    x_new, y_new = unpack(*planes[:3])
+    xp_new, yp_new = unpack(*planes[3:])
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+
     vap = jax.vmap(lambda p, v: p.linop.apply(v))
     vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
     state = dataclasses.replace(

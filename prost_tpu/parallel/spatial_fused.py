@@ -1009,14 +1009,22 @@ def _admm_halo_iter(xh, xp, xd, zh, zp, zd, warm, f_ext, w_ext, rho, lmb,
                     alpha, dataterm, interpret, with_norms):
     """One sharded Chebyshev-ADMM outer iteration (inside shard_map):
     exchange state halos, run the banded kernel on the extended block
-    with shard-global offsets, return owned rows (+ psum'd norms)."""
+    with shard-global offsets, return owned rows (+ psum'd norms).
+
+    z_proj is NOT exchanged (round 4): the kernel never reads its input
+    z_proj (z_proj == grad(x_proj) invariantly; `_admm_iter` only emits
+    the fresh value), so its halo rows are dead — zero-padding locally
+    saves 2 of the 10 exchanged planes (20% of the per-iteration
+    communication volume, pinned by
+    tests/test_spatial_fused.py::test_sharded_admm_comm_volume_per_iteration)."""
     from ..ops.fused_admm import admm_banded_iter
 
     rows = xh.shape[0]
     row_offset = lax.axis_index(axis) * rows - halo
     ext = partial(_halo_extend, axis=axis, n_shards=n_shards, halo=halo)
+    zp_ext = jnp.pad(zp, ((0, 0), (halo, halo), (0, 0)))
     outs = admm_banded_iter(
-        ext(xh), ext(xp), ext(xd), ext(zh), ext(zp), ext(zd), ext(warm),
+        ext(xh), ext(xp), ext(xd), ext(zh), zp_ext, ext(zd), ext(warm),
         f_ext, w_ext, rho, lmb, radius, band_nb, degree, alpha,
         dataterm=dataterm, interpret=interpret, with_norms=with_norms,
         own_lo=halo, out_rows=rows, nx_global=nx,

@@ -374,3 +374,36 @@ def test_batched_fused_multilabel_multidevice():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(ms.y), np.asarray(ss.y),
                                atol=1e-6)
+
+
+def test_batched_fused_deblur_matches_generic_vmap():
+    """The batched fused DEBLUR path (grid = (B,) gridded deblur chunk
+    kernel on embedded planes — deblurring B frames sharing one blur
+    kernel) must reproduce the generic vmapped loop."""
+    import sys
+    from test_fused_deblur import deblur_problem
+
+    nx = ny = 12
+    problems = [deblur_problem(nx, ny, lmb=float(lmb), seed=i)[0]
+                for i, lmb in enumerate((20.0, 35.0, 50.0))]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0,
+                             tol_rel_dual=0, tol_abs_primal=0,
+                             tol_abs_dual=0)
+
+    gen = BatchedPDHG(problems, popts, sopts)
+    assert gen.deblur is None  # CPU w/o interpret
+    gs = gen.run(gen.initial_state(), 31)
+
+    fus = BatchedPDHG(problems, popts, sopts, interpret=True)
+    assert fus.rof is None and fus.ml is None and fus.deblur is not None
+    fs = fus.run(fus.initial_state(), 31)
+
+    np.testing.assert_array_equal(np.asarray(fs.iteration), 31)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=5e-5)
+    np.testing.assert_allclose(np.asarray(fs.tau), np.asarray(gs.tau),
+                               rtol=1e-6)

@@ -325,8 +325,9 @@ def test_sharded_fused_admm_rejects_cgls():
 
 def test_sharded_admm_comm_volume_per_iteration():
     """The sharded Chebyshev-ADMM iteration must move exactly the
-    designed halo bytes: 2 directions x 10 state planes (xh, xp, xd,
-    zh(2), zp(2), zd(2), warm) x halo rows — f/w are pre-extended once
+    designed halo bytes: 2 directions x 8 state planes (xh, xp, xd,
+    zh(2), zd(2), warm) x halo rows — z_proj is zero-padded locally
+    (the kernel never reads it; round 4), f/w are pre-extended once
     outside the loop, and the Chebyshev projection adds NO collectives
     (that is the point of replacing CGLS)."""
     import jax
@@ -357,7 +358,7 @@ def test_sharded_admm_comm_volume_per_iteration():
     s = jnp.zeros((), jnp.float32)
     hlo = chunk.lower(x, x, x, z, z, z, x, fe, fe, s, s, s).compile().as_text()
     measured = _collective_permute_bytes(hlo)
-    expected = 2 * 10 * halo * ny * 4
+    expected = 2 * 8 * halo * ny * 4
     assert measured == expected, (measured, expected)
 
 
