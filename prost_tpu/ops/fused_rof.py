@@ -940,6 +940,256 @@ def _rof_banded_db_kernel(scal_ref, off_ref, x_hbm, q_hbm, f_hbm, w_hbm,
             c.wait()
 
 
+def _rof_banded_mc_kernel(scal_ref, x2_hbm, q2_hbm, f_hbm, w_hbm,
+                          xo2, qo2, xpo, qpo, norms_ref, sout_ref,
+                          xs2, qs2, fs2, ws2, qps2, sstate, nacc,
+                          in_sem, out_sem, *,
+                          count: int, k_chunks: int, nx: int, ny: int,
+                          rows: int, halo: int, n_bands: int,
+                          dataterm: str, stepsize: str, consts):
+    """MULTI-CHUNK banded ROF/TV kernel: grid = (k_chunks, n_bands)
+    (chunks outer, bands inner) over length-2 in-place ping-pong state
+    arrays (cf. `fused_admm._admm_banded_chunk_kernel`), with the
+    boyd/goldstein adaptation and convergence test run IN-KERNEL between
+    chunks on SMEM scratch scalars — one launch advances up to
+    k_chunks * count iterations, amortizing the per-chunk dispatch that
+    capped the banded end-to-end path at ~78% of kernel-only.
+
+    Per chunk c: bands fetch their halo-extended windows from slot c%2
+    (fully written by chunk c-1 — the TPU grid is sequential), run the
+    ordinary banded chunk core with the CURRENT scalars from ``sstate``
+    (SMEM scratch persists across grid steps), write owned rows to slot
+    (c+1)%2 plus the chunk's pre-aligned-step iterate into xpo/qpo, and
+    store their owned-row norms into ``nacc``.  At (c, n_bands-1), after
+    compute, the band sums ``nacc``, runs `adapt_scalars`, and updates
+    ``sstate`` — chunks after the convergence point are skipped via the
+    SMEM flag.  Window DMA is double-buffered WITHIN each chunk and
+    drains at chunk boundaries (no prefetch is ever issued into a chunk
+    that convergence may skip — an orphaned in-flight DMA at kernel end
+    would corrupt the semaphore state).
+
+    scal_ref (SMEM, 13): as `_rof_multichunk_kernel`.  sout_ref (SMEM
+    out, 8): [tau, sigma, arg_alpha, arb_l, arb_u, converged,
+    chunks_done, final_slot].  norms_ref (4): last executed chunk's
+    sqrt'd norms.  sstate layout: [tau, sigma, arg_alpha, arb_l, arb_u,
+    conv, done]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    step = c * n_bands + i
+    ext = xs2.shape[1]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    theta = scal_ref[2]
+    lmb = scal_ref[3]
+    radius = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+
+    @pl.when(step == 0)
+    def _():
+        sstate[0] = scal_ref[0]
+        sstate[1] = scal_ref[1]
+        sstate[2] = scal_ref[5]
+        sstate[3] = scal_ref[6]
+        sstate[4] = scal_ref[7]
+        sstate[5] = 0.0  # converged
+        sstate[6] = 0.0  # chunks done
+
+    active = sstate[5] < 0.5
+
+    def geom(j):
+        start8 = jnp.clip(j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (j * r8 - start8)
+
+    def in_copies(cc, j, buf):
+        # reads go through the ALIASED output refs (xo2/qo2 share the
+        # input buffers via input_output_aliases): chunk c reads the
+        # slot chunk c-1 wrote
+        slot = lax.rem(cc, 2)
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        cs = [
+            pltpu.make_async_copy(
+                xo2.at[slot, pl.ds(start, ext)], xs2.at[buf], sem),
+            pltpu.make_async_copy(
+                qo2.at[slot, :, pl.ds(start, ext)], qs2.at[buf], sem),
+            pltpu.make_async_copy(
+                f_hbm.at[pl.ds(start, ext)], fs2.at[buf], sem),
+        ]
+        if dataterm == "wsquare":
+            cs.append(pltpu.make_async_copy(
+                w_hbm.at[pl.ds(start, ext)], ws2.at[buf], sem))
+        return cs
+
+    def out_copies(cc, j, buf):
+        slot = lax.rem(cc + 1, 2)
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                xs2.at[buf, pl.ds(own_w, rows)],
+                xo2.at[slot, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qs2.at[buf, :, pl.ds(own_w, rows)],
+                qo2.at[slot, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                ws2.at[buf, pl.ds(own_w, rows)],
+                xpo.at[pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qps2.at[buf, :, pl.ds(own_w, rows)],
+                qpo.at[:, pl.ds(lo, rows)], sem),
+        ]
+
+    # The DMA pipeline DRAINS at chunk boundaries: every chunk's last
+    # band waits its own writeback inside the adapt block, so chunk c+1
+    # can fetch slot (c+1)%2 immediately, and — crucially — no prefetch
+    # is ever issued into a chunk that convergence may skip (an orphaned
+    # in-flight DMA at kernel end would corrupt the semaphore state).
+    # Within a chunk, band i+1's fetch and band i-1's writeback overlap
+    # band i's compute as usual.
+    p = lax.rem(step, 2)
+
+    @pl.when(active)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for cp in in_copies(c, 0, p):
+                cp.start()
+
+        for cp in in_copies(c, i, p):
+            cp.wait()
+
+        @pl.when(i >= 1)
+        def _():
+            for cp in out_copies(c, i - 1, 1 - p):
+                cp.wait()
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            for cp in in_copies(c, i + 1, 1 - p):
+                cp.start()
+
+        start, own_w = geom(i)
+        halo_ctx = (start, nx, own_w, own_w + rows)
+        q = qs2[p]
+        x2, qx2, qy2, xp, qxp, qyp, norms = _chunk_core(
+            sstate[0], sstate[1], theta, lmb, radius,
+            xs2[p], q[0], q[1], fs2[p], ws2[p], count, dataterm,
+            halo_ctx=halo_ctx)
+        for j in range(4):
+            nacc[j, i] = norms[j]
+
+        xs2[p] = x2
+        qs2[p, 0] = qx2
+        qs2[p, 1] = qy2
+        ws2[p] = xp
+        qps2[p, 0] = qxp
+        qps2[p, 1] = qyp
+        for cp in out_copies(c, i, p):
+            cp.start()
+
+        # chunk's last band: drain its own writeback, then adapt
+        @pl.when(i == n_bands - 1)
+        def _():
+            for cp in out_copies(c, i, p):
+                cp.wait()
+            n0 = n1 = n2 = n3 = jnp.zeros((), x2.dtype)
+            for j in range(n_bands):
+                n0 += nacc[0, j]
+                n1 += nacc[1, j]
+                n2 += nacc[2, j]
+                n3 += nacc[3, j]
+            pr = jnp.sqrt(n0)
+            pn_ = jnp.sqrt(n1)
+            dr = jnp.sqrt(n2)
+            dn_ = jnp.sqrt(n3)
+            it = it0 + ((c + 1) * count - 1).astype(x2.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, sstate[0], sstate[1],
+                sstate[2], sstate[3], sstate[4], pr, pn_, dr, dn_)
+            sstate[0] = tau2
+            sstate[1] = sigma2
+            sstate[2] = aa2
+            sstate[3] = al2
+            sstate[4] = au2
+            sstate[5] = cv.astype(x2.dtype)
+            sstate[6] = sstate[6] + 1.0
+            norms_ref[0] = pr
+            norms_ref[1] = pn_
+            norms_ref[2] = dr
+            norms_ref[3] = dn_
+
+    @pl.when(step == k_chunks * n_bands - 1)
+    def _():
+        for j in range(7):
+            sout_ref[j] = sstate[j]
+        sout_ref[7] = lax.rem(sstate[6], 2.0)  # final ping-pong slot
+
+
+def rof_fused_multichunk_banded(x, q, f, w, scal13, count, k_chunks,
+                                n_bands: int, dataterm: str,
+                                stepsize: str, consts,
+                                interpret: bool = False):
+    """Up to ``k_chunks * count`` banded fused iterations in ONE kernel
+    with in-kernel adaptation/convergence (see `_rof_banded_mc_kernel`).
+    Returns (x2, q2, x_prev, q_prev, norms, sout) where x2/q2 are
+    selected from the final ping-pong slot (sout[7])."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nx, ny = x.shape
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    def dbl(a):
+        return jnp.zeros((2,) + a.shape, a.dtype).at[0].set(a)
+
+    x2_in, q2_in = dbl(x), dbl(q)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct(x2_in.shape, x.dtype),
+        jax.ShapeDtypeStruct(q2_in.shape, q.dtype),
+        jax.ShapeDtypeStruct(x.shape, x.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4,), x.dtype),
+        jax.ShapeDtypeStruct((8,), x.dtype),
+    ]
+    dt = x.dtype
+    scratch = [
+        pltpu.VMEM((2, ext, ny), dt), pltpu.VMEM((2, 2, ext, ny), dt),
+        pltpu.VMEM((2, ext, ny), dt), pltpu.VMEM((2, ext, ny), dt),
+        pltpu.VMEM((2, 2, ext, ny), dt),
+        pltpu.SMEM((7,), dt), pltpu.SMEM((4, n_bands), dt),
+        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = pl.pallas_call(
+        partial(_rof_banded_mc_kernel, count=int(count),
+                k_chunks=int(k_chunks), nx=nx, ny=ny, rows=rows,
+                halo=halo, n_bands=n_bands, dataterm=dataterm,
+                stepsize=stepsize, consts=consts),
+        grid=(int(k_chunks), int(n_bands)),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 4,
+        out_specs=[hbm, hbm, hbm, hbm, smem, smem],
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, x2_in, q2_in, f, w)
+    x2_2, q2_2, xp, qp, norms, sout = outs
+    slot = sout[7].astype(jnp.int32)
+    x2 = lax.dynamic_index_in_dim(x2_2, slot, 0, keepdims=False)
+    q2 = lax.dynamic_index_in_dim(q2_2, slot, 0, keepdims=False)
+    return x2, q2, xp, qp, norms, sout
+
+
 def rof_fused_chunk_banded(x, q, f, w, tau, sigma, theta, lmb, radius,
                            count, n_bands: int, dataterm: str = "square",
                            interpret: bool = False, own_lo: int = 0,
@@ -1524,14 +1774,49 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    # phase B0 (whole-plane only): multi-chunk launches with in-kernel
-    # adaptation — k_chunks * ri iterations per kernel call (k_chunks=0
-    # disables the phase, the launch-per-chunk A/B configuration)
+    def multi_chunk_banded(s: PDHGState) -> PDHGState:
+        x = s.x.reshape(nx, ny)
+        q = s.y.reshape(2, nx, ny)
+        dt = x.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, dt), jnp.asarray(radius, dt),
+            s.arg_alpha, s.arb_l, s.arb_u,
+            s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        x2, q2, xp, qp, norms, sc = rof_fused_multichunk_banded(
+            x, q, f_plane, w_plane, scal13, ri, k_chunks, n_bands,
+            dataterm, opts.stepsize, pdhg_adapt_consts(problem, opts),
+            interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        return dataclasses.replace(
+            s,
+            x=x2.reshape(-1), y=q2.reshape(-1),
+            x_prev=xp.reshape(-1), y_prev=qp.reshape(-1),
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+
+    # phase B0: multi-chunk launches with in-kernel adaptation —
+    # k_chunks * ri iterations per kernel call (k_chunks=0 disables the
+    # phase, the launch-per-chunk A/B configuration).  The banded
+    # variant needs the double-buffer window footprint, so it is gated
+    # on the same routing flag.
     if n_bands == 1 and k_chunks > 0:
         def cond_b0(s):
             return (s.iteration + k_chunks * ri <= until) & ~s.converged
 
         state = lax.while_loop(cond_b0, multi_chunk, state)
+    elif n_bands > 1 and k_chunks > 0 and double_buffer:
+        def cond_b0(s):
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
+
+        state = lax.while_loop(cond_b0, multi_chunk_banded, state)
 
     # phase B: fused chunks of exactly ri iterations
     def cond_b(s):

@@ -338,3 +338,45 @@ def test_multichunk_convergence_mid_launch():
     np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x), atol=2e-5)
     for a, b in zip(fus.current_solution(fs), gen.current_solution(gs)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_banded_multichunk_matches_generic():
+    """Phase B0-banded (multi-chunk banded launches: grid = (K, bands),
+    in-place ping-pong slots, in-kernel adaptation on SMEM scratch) must
+    follow the generic trajectory, including mid-launch convergence with
+    an odd executed-chunk count (final state in slot 1)."""
+    nx, ny = 96, 24
+    rng = np.random.RandomState(2)
+    f = rng.rand(nx * ny).astype(np.float32)
+    prob = rof_problem(nx, ny, f, 16.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=4,
+                        scale_steps_operator=False)
+
+    def sopts(t):
+        return pt.SolverOptions(verbose=False, tol_rel_primal=t,
+                                tol_rel_dual=t, tol_abs_primal=t,
+                                tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts(1e-5))
+    gs = gen.run(gen.initial_state(), 140)
+    fus = FusedROFPDHG(prob, popts, sopts(1e-5), interpret=True)
+    fus.rof["n_bands"] = 4          # force the banded multichunk path
+    fus.rof["double_buffer"] = True
+    fs = fus.run(fus.initial_state(), 140)
+    assert int(fs.iteration) == int(gs.iteration) == 140
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+    gen = BackendPDHG(prob, popts, sopts(4e-4))
+    gs = gen.run(gen.initial_state(), 10000)
+    fus = FusedROFPDHG(prob, popts, sopts(4e-4), interpret=True)
+    fus.rof["n_bands"] = 4
+    fus.rof["double_buffer"] = True
+    fs = fus.run(fus.initial_state(), 10000)
+    assert bool(fs.converged) == bool(gs.converged)
+    assert int(fs.iteration) == int(gs.iteration)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-4)

@@ -414,6 +414,59 @@ def verify_multichunk():
     return ok
 
 
+def verify_banded_multichunk():
+    """The banded multi-chunk kernel (rof_fused_multichunk_banded:
+    grid (K, bands), in-place ping-pong slots, in-kernel adaptation on
+    SMEM scratch) vs K sequential banded chunk launches + host
+    adaptation — on hardware, where interpret mode cannot see the slot
+    aliasing or the cross-step semaphore state."""
+    import math
+
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_rof import (adapt_scalars,
+                                         rof_fused_chunk_banded,
+                                         rof_fused_multichunk_banded)
+
+    print("ROF banded multi-chunk (1024x512, nb=4, ri=10, K=4):")
+    rng = np.random.RandomState(18)
+    nx, ny = 1024, 512
+    ri, K, nb = 10, 4, 4
+    x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
+    w = jnp.ones_like(x)
+    nrows, ncols = 2.0 * nx * ny, 1.0 * nx * ny
+    consts = (math.sqrt(nrows), math.sqrt(ncols), 1.5, 0.95, 1.05, 0.8)
+    t = 1e-4
+
+    tau = sigma = jnp.asarray(1.0, jnp.float32)
+    aa = jnp.asarray(0.5, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    xs, qs = x, q
+    for c in range(K):
+        x2, q2, xp_, qp_, n2 = rof_fused_chunk_banded(
+            xs, qs, f, w, tau, sigma, 1.0, 16.0, 0.5, ri, nb)
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri - 1, jnp.float32)
+        tau, sigma, aa, al, au, _ = adapt_scalars(
+            "boyd", consts, (t, t, t, t), it, tau, sigma, aa, al, au,
+            pr, pn, dr, dn)
+        xs, qs = x2, q2
+    scal13 = jnp.asarray(
+        [1.0, 1.0, 1.0, 16.0, 0.5, 0.5, 0.0, 0.0, 0.0, t, t, t, t],
+        jnp.float32)
+    mx, mq, mxp, mqp, mnorms, sout = rof_fused_multichunk_banded(
+        x, q, f, w, scal13, ri, K, nb, "square", "boyd", consts)
+    ok = _check("x", xs, mx)
+    ok = _check("q", qs, mq) and ok
+    ok = _check("tau", tau, sout[0], tol=1e-6) and ok
+    ok = _check("sigma", sigma, sout[1], tol=1e-6) and ok
+    ok = _check("chunks_done", jnp.asarray(float(K)), sout[6]) and ok
+    return ok
+
+
 def verify_sharded_banded_ml():
     """Banding WITHIN a multilabel shard block (nonzero shard-global
     off_ref) on hardware — round-3 verified only ROF's composition."""
@@ -677,6 +730,7 @@ def main():
                      ("admm", verify_admm), ("admm_banded", verify_admm_banded),
                      ("admm_chunk_banded", verify_admm_chunk_banded),
                      ("multichunk", verify_multichunk),
+                     ("banded_multichunk", verify_banded_multichunk),
                      ("sharded_banded", verify_sharded_banded),
                      ("sharded_banded_ml", verify_sharded_banded_ml),
                      ("sharded_banded_tight", verify_sharded_banded_tight),
