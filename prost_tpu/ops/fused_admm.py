@@ -211,9 +211,9 @@ def _admm_iter(xh, xp, xd, zh, zp, zd, warm, f, dt1_or_w, project, rho,
     elif dataterm == "wsquare":
         tw = (te * lmb) * dt1_or_w
         xh_n = (arg + tw * f) / (1.0 + tw)
-    else:  # abs
+    else:  # abs — soft shrink via clamp (cf. fused_rof._rof_update)
         dv = arg - f
-        xh_n = f + jnp.sign(dv) * jnp.maximum(jnp.abs(dv) - te * lmb, 0.0)
+        xh_n = arg - jnp.clip(dv, -te * lmb, te * lmb)
 
     # prox_f = shrinkage of the per-pixel 2-vector magnitude by
     # radius * step, inverted step 1/(rho Sigma) = 2/rho

@@ -383,6 +383,240 @@ def ml_fused_multichunk(u, q, s, f, scal13, count, k_chunks,
     )(scal13, u, q, s, f)
 
 
+def _ml_banded_mc_kernel(scal_ref, u2_hbm, q2_hbm, s2_hbm, f_hbm,
+                         uo2, qo2, so2, upo, qpo, spo,
+                         norms_ref, sout_ref,
+                         us2, qs2, ss2, fs2, qps2, sps2, sstate, nacc,
+                         in_sem, out_sem, *,
+                         count: int, k_chunks: int, L: int, nx: int,
+                         ny: int, rows: int, halo: int, n_bands: int,
+                         stepsize: str, consts):
+    """MULTI-CHUNK banded multilabel kernel — the ml analog of
+    `fused_rof._rof_banded_mc_kernel`: grid = (k_chunks, n_bands) over
+    in-place ping-pong state slots, in-kernel adaptation on persistent
+    SMEM scratch, DMA pipeline draining at chunk boundaries (no
+    prefetch is ever orphaned by convergence).  Reads go through the
+    ALIASED output refs.  scal13/sout layouts as
+    `_ml_multichunk_kernel` (+ sout[7] = final slot)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_rof import adapt_scalars
+
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    step = c * n_bands + i
+    ext = us2.shape[2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    theta = scal_ref[2]
+    radius = scal_ref[3]
+    d_s = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+
+    @pl.when(step == 0)
+    def _():
+        sstate[0] = scal_ref[0]
+        sstate[1] = scal_ref[1]
+        sstate[2] = scal_ref[5]
+        sstate[3] = scal_ref[6]
+        sstate[4] = scal_ref[7]
+        sstate[5] = 0.0  # converged
+        sstate[6] = 0.0  # chunks done
+
+    active = sstate[5] < 0.5
+
+    def geom(j):
+        start8 = jnp.clip(j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (j * r8 - start8)
+
+    def in_copies(cc, j, buf):
+        slot = lax.rem(cc, 2)
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                uo2.at[slot, :, pl.ds(start, ext)], us2.at[buf], sem),
+            pltpu.make_async_copy(
+                qo2.at[slot, :, pl.ds(start, ext)], qs2.at[buf], sem),
+            pltpu.make_async_copy(
+                so2.at[slot, pl.ds(start, ext)], ss2.at[buf], sem),
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(start, ext)], fs2.at[buf], sem),
+        ]
+
+    def out_copies(cc, j, buf):
+        slot = lax.rem(cc + 1, 2)
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                us2.at[buf, :, pl.ds(own_w, rows)],
+                uo2.at[slot, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qs2.at[buf, :, pl.ds(own_w, rows)],
+                qo2.at[slot, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                ss2.at[buf, pl.ds(own_w, rows)],
+                so2.at[slot, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                fs2.at[buf, :, pl.ds(own_w, rows)],
+                upo.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qps2.at[buf, :, pl.ds(own_w, rows)],
+                qpo.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                sps2.at[buf, pl.ds(own_w, rows)],
+                spo.at[pl.ds(lo, rows)], sem),
+        ]
+
+    p = lax.rem(step, 2)
+
+    @pl.when(active)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for cp in in_copies(c, 0, p):
+                cp.start()
+
+        for cp in in_copies(c, i, p):
+            cp.wait()
+
+        @pl.when(i >= 1)
+        def _():
+            for cp in out_copies(c, i - 1, 1 - p):
+                cp.wait()
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            for cp in in_copies(c, i + 1, 1 - p):
+                cp.start()
+
+        start, own_w = geom(i)
+        halo_ctx = (start, nx, own_w, own_w + rows)
+        new, prev, norms = _ml_chunk_core(
+            sstate[0], sstate[1], theta, radius, d_s,
+            us2[p], qs2[p], ss2[p], fs2[p], count, L,
+            halo_ctx=halo_ctx)
+        u2, qx2, qy2, s2 = new
+        up, qxp, qyp, sp = prev
+        for j in range(4):
+            nacc[j, i] = norms[j]
+
+        us2[p] = u2
+        qs2[p, 0:L] = qx2
+        qs2[p, L:] = qy2
+        ss2[p] = s2
+        fs2[p] = up
+        qps2[p, 0:L] = qxp
+        qps2[p, L:] = qyp
+        sps2[p] = sp
+        for cp in out_copies(c, i, p):
+            cp.start()
+
+        @pl.when(i == n_bands - 1)
+        def _():
+            for cp in out_copies(c, i, p):
+                cp.wait()
+            n0 = n1 = n2 = n3 = jnp.zeros((), u2.dtype)
+            for j in range(n_bands):
+                n0 += nacc[0, j]
+                n1 += nacc[1, j]
+                n2 += nacc[2, j]
+                n3 += nacc[3, j]
+            pr = jnp.sqrt(n0)
+            pn_ = jnp.sqrt(n1)
+            dr = jnp.sqrt(n2)
+            dn_ = jnp.sqrt(n3)
+            it = it0 + ((c + 1) * count - 1).astype(u2.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, sstate[0], sstate[1],
+                sstate[2], sstate[3], sstate[4], pr, pn_, dr, dn_)
+            sstate[0] = tau2
+            sstate[1] = sigma2
+            sstate[2] = aa2
+            sstate[3] = al2
+            sstate[4] = au2
+            sstate[5] = cv.astype(u2.dtype)
+            sstate[6] = sstate[6] + 1.0
+            norms_ref[0] = pr
+            norms_ref[1] = pn_
+            norms_ref[2] = dr
+            norms_ref[3] = dn_
+
+    @pl.when(step == k_chunks * n_bands - 1)
+    def _():
+        for j in range(7):
+            sout_ref[j] = sstate[j]
+        sout_ref[7] = lax.rem(sstate[6], 2.0)  # final ping-pong slot
+
+
+def ml_fused_multichunk_banded(u, q, s, f, scal13, count, k_chunks,
+                               n_bands: int, stepsize: str, consts,
+                               interpret: bool = False):
+    """Up to ``k_chunks * count`` banded fused multilabel iterations in
+    ONE kernel with in-kernel adaptation/convergence (see
+    `_ml_banded_mc_kernel`).  Returns (u2, q2, s2, u_prev, q_prev,
+    s_prev, norms, sout) with the final state selected from the
+    ping-pong slot sout[7]."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nx, ny = u.shape
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    def dbl(a):
+        return jnp.zeros((2,) + a.shape, a.dtype).at[0].set(a)
+
+    u2_in, q2_in, s2_in = dbl(u), dbl(q), dbl(s)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct(u2_in.shape, u.dtype),
+        jax.ShapeDtypeStruct(q2_in.shape, q.dtype),
+        jax.ShapeDtypeStruct(s2_in.shape, s.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(s.shape, s.dtype),
+        jax.ShapeDtypeStruct((4,), u.dtype),
+        jax.ShapeDtypeStruct((8,), u.dtype),
+    ]
+    dt = u.dtype
+    vm = pltpu.VMEM
+    scratch = [
+        vm((2, L, ext, ny), dt), vm((2, 2 * L, ext, ny), dt),
+        vm((2, ext, ny), dt), vm((2, L, ext, ny), dt),
+        vm((2, 2 * L, ext, ny), dt), vm((2, ext, ny), dt),
+        pltpu.SMEM((7,), dt), pltpu.SMEM((4, n_bands), dt),
+        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = pl.pallas_call(
+        partial(_ml_banded_mc_kernel, count=int(count),
+                k_chunks=int(k_chunks), L=L, nx=nx, ny=ny, rows=rows,
+                halo=halo, n_bands=n_bands, stepsize=stepsize,
+                consts=consts),
+        grid=(int(k_chunks), int(n_bands)),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 4,
+        out_specs=[hbm, hbm, hbm, hbm, hbm, hbm, smem, smem],
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0, 2: 1, 3: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, u2_in, q2_in, s2_in, f)
+    u2_2, q2_2, s2_2, up, qp, sp, norms, sout = outs
+    slot = sout[7].astype(jnp.int32)
+    u2 = lax.dynamic_index_in_dim(u2_2, slot, 0, keepdims=False)
+    q2 = lax.dynamic_index_in_dim(q2_2, slot, 0, keepdims=False)
+    s2 = lax.dynamic_index_in_dim(s2_2, slot, 0, keepdims=False)
+    return u2, q2, s2, up, qp, sp, norms, sout
+
+
 def _ml_chunk_kernel_batched(scal_ref, u_ref, q_ref, s_ref, f_ref,
                              uo_ref, qo_ref, so_ref,
                              upo_ref, qpo_ref, spo_ref, norms_ref, *,
@@ -929,16 +1163,51 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
 
     state = lax.while_loop(cond_a, generic, state)
 
+    def multi_chunk_banded(carry):
+        from .fused_rof import pdhg_adapt_consts
+
+        s, (u, q, sm, _up, _qp, _sp) = carry
+        dt = u.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            radius.astype(dt), d_s.astype(dt),
+            s.arg_alpha, s.arb_l, s.arb_u, s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        u2, q2, s2, up, qp, sp, norms, sc = ml_fused_multichunk_banded(
+            u, q, sm, f_planes, scal13, ri, k_chunks, n_bands,
+            opts.stepsize, pdhg_adapt_consts(problem, opts),
+            interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        s = dataclasses.replace(
+            s,
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+        return (s, (u2, q2, s2, up, qp, sp))
+
     planes0 = pack(state.x, state.y) + pack(state.x_prev, state.y_prev)
 
-    # phase B0 (whole-plane only): multi-chunk launches with in-kernel
-    # adaptation (cf. fused_rof phase B0); k_chunks=0 disables
+    # phase B0: multi-chunk launches with in-kernel adaptation (cf.
+    # fused_rof phase B0); k_chunks=0 disables; the banded variant is
+    # gated on the double-buffer window footprint
     if n_bands == 1 and k_chunks > 0:
         def cond_b0(carry):
             s = carry[0]
             return (s.iteration + k_chunks * ri <= until) & ~s.converged
 
         state, planes0 = lax.while_loop(cond_b0, multi_chunk,
+                                        (state, planes0))
+    elif n_bands > 1 and k_chunks > 0 and double_buffer:
+        def cond_b0(carry):
+            s = carry[0]
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
+
+        state, planes0 = lax.while_loop(cond_b0, multi_chunk_banded,
                                         (state, planes0))
 
     def cond_b(carry):

@@ -97,9 +97,9 @@ def _vol_update(u, qx, qy, ql, gx, gy, gl, dt0, dt1, tau, sig_p, sig_t,
     arg = u - tau * kty
     if dataterm in ("square", "wsquare"):
         u_new = (arg + dt0) * dt1
-    else:  # abs
+    else:  # abs — soft shrink via clamp (cf. fused_rof._rof_update)
         d = arg - dt0
-        u_new = dt0 + jnp.sign(d) * jnp.maximum(jnp.abs(d) - dt1, 0.0)
+        u_new = arg - jnp.clip(d, -dt1, dt1)
 
     gx_n, gy_n, gl_n = _dx(u_new), _dy(u_new), _dl(u_new)
     ax = qx + sig_p * gx_n - sig_t * gx

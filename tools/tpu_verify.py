@@ -467,6 +467,56 @@ def verify_banded_multichunk():
     return ok
 
 
+def verify_banded_multichunk_ml():
+    """The banded multilabel multi-chunk kernel vs K sequential banded
+    chunk launches + host adaptation, on hardware."""
+    import math
+
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk_banded,
+                                                ml_fused_multichunk_banded)
+    from prost_tpu.ops.fused_rof import adapt_scalars
+
+    print("ml banded multi-chunk (512x256x4, nb=4, ri=10, K=4):")
+    rng = np.random.RandomState(19)
+    L, nx, ny = 4, 512, 256
+    ri, K, nb = 10, 4, 4
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    nrows = float(2 * L * nx * ny + nx * ny)
+    ncols = float(L * nx * ny)
+    consts = (math.sqrt(nrows), math.sqrt(ncols), 1.5, 0.95, 1.05, 0.8)
+    t = 1e-4
+
+    tau = sigma = jnp.asarray(1.0, jnp.float32)
+    aa = jnp.asarray(0.5, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    us, qs, ss = u, q, s
+    for c in range(K):
+        u2, q2, s2, up_, qp_, sp_, n2 = ml_fused_chunk_banded(
+            us, qs, ss, f, tau, sigma, 1.0, 0.5, 1.0, ri, nb)
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri - 1, jnp.float32)
+        tau, sigma, aa, al, au, _ = adapt_scalars(
+            "boyd", consts, (t, t, t, t), it, tau, sigma, aa, al, au,
+            pr, pn, dr, dn)
+        us, qs, ss = u2, q2, s2
+    scal13 = jnp.asarray(
+        [1.0, 1.0, 1.0, 0.5, 1.0, 0.5, 0.0, 0.0, 0.0, t, t, t, t],
+        jnp.float32)
+    mu, mq, ms, mup, mqp, msp, mnorms, sout = ml_fused_multichunk_banded(
+        u, q, s, f, scal13, ri, K, nb, "boyd", consts)
+    ok = _check("u", us, mu)
+    ok = _check("q", qs, mq) and ok
+    ok = _check("s", ss, ms) and ok
+    ok = _check("tau", tau, sout[0], tol=1e-6) and ok
+    return ok and _check("chunks_done", jnp.asarray(float(K)), sout[6])
+
+
 def verify_sharded_banded_ml():
     """Banding WITHIN a multilabel shard block (nonzero shard-global
     off_ref) on hardware — round-3 verified only ROF's composition."""
@@ -731,6 +781,7 @@ def main():
                      ("admm_chunk_banded", verify_admm_chunk_banded),
                      ("multichunk", verify_multichunk),
                      ("banded_multichunk", verify_banded_multichunk),
+                     ("banded_multichunk_ml", verify_banded_multichunk_ml),
                      ("sharded_banded", verify_sharded_banded),
                      ("sharded_banded_ml", verify_sharded_banded_ml),
                      ("sharded_banded_tight", verify_sharded_banded_tight),
