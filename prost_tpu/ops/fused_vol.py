@@ -430,6 +430,223 @@ def _vol_banded_kernel(scal_ref, off_ref, u_hbm, q_hbm, f_hbm, w_hbm,
     ])
 
 
+def _vol_banded_mc_kernel(scal_ref, u2_hbm, q2_hbm, f_hbm, w_hbm,
+                          uo2, qo2, upo, qpo, norms_ref, sout_ref,
+                          us2, qs2, fs2, ws2, qps2, sstate, nacc,
+                          in_sem, out_sem, *,
+                          count: int, k_chunks: int, nx: int, ny: int,
+                          rows: int, halo: int, n_bands: int,
+                          dataterm: str, stepsize: str, consts):
+    """MULTI-CHUNK banded volumetric kernel — the vol analog of
+    `fused_rof._rof_banded_mc_kernel`: grid = (k_chunks, n_bands) over
+    in-place ping-pong state slots, in-kernel adaptation on persistent
+    SMEM scratch, DMA pipeline draining at chunk boundaries.  Reads go
+    through the ALIASED output refs."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from .fused_rof import adapt_scalars
+
+    c = pl.program_id(0)
+    i = pl.program_id(1)
+    step = c * n_bands + i
+    ext = us2.shape[2]
+    r8, h8, e8, n8 = rows // 8, halo // 8, ext // 8, nx // 8
+    theta = scal_ref[2]
+    lmb = scal_ref[3]
+    radius = scal_ref[4]
+    it0 = scal_ref[8]
+    tols4 = (scal_ref[9], scal_ref[10], scal_ref[11], scal_ref[12])
+
+    @pl.when(step == 0)
+    def _():
+        sstate[0] = scal_ref[0]
+        sstate[1] = scal_ref[1]
+        sstate[2] = scal_ref[5]
+        sstate[3] = scal_ref[6]
+        sstate[4] = scal_ref[7]
+        sstate[5] = 0.0  # converged
+        sstate[6] = 0.0  # chunks done
+
+    active = sstate[5] < 0.5
+
+    def geom(j):
+        start8 = jnp.clip(j * r8 - h8, 0, n8 - e8)
+        return 8 * start8, 8 * (j * r8 - start8)
+
+    def in_copies(cc, j, buf):
+        slot = lax.rem(cc, 2)
+        start, _ = geom(j)
+        sem = in_sem.at[buf]
+        cs = [
+            pltpu.make_async_copy(
+                uo2.at[slot, :, pl.ds(start, ext)], us2.at[buf], sem),
+            pltpu.make_async_copy(
+                qo2.at[slot, :, :, pl.ds(start, ext)], qs2.at[buf], sem),
+            pltpu.make_async_copy(
+                f_hbm.at[:, pl.ds(start, ext)], fs2.at[buf], sem),
+        ]
+        if dataterm == "wsquare":
+            cs.append(pltpu.make_async_copy(
+                w_hbm.at[:, pl.ds(start, ext)], ws2.at[buf], sem))
+        return cs
+
+    def out_copies(cc, j, buf):
+        slot = lax.rem(cc + 1, 2)
+        _, own_w = geom(j)
+        lo = 8 * (j * r8)
+        sem = out_sem.at[buf]
+        return [
+            pltpu.make_async_copy(
+                us2.at[buf, :, pl.ds(own_w, rows)],
+                uo2.at[slot, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qs2.at[buf, :, :, pl.ds(own_w, rows)],
+                qo2.at[slot, :, :, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                ws2.at[buf, :, pl.ds(own_w, rows)],
+                upo.at[:, pl.ds(lo, rows)], sem),
+            pltpu.make_async_copy(
+                qps2.at[buf, :, :, pl.ds(own_w, rows)],
+                qpo.at[:, :, pl.ds(lo, rows)], sem),
+        ]
+
+    p = lax.rem(step, 2)
+
+    @pl.when(active)
+    def _():
+        @pl.when(i == 0)
+        def _():
+            for cp in in_copies(c, 0, p):
+                cp.start()
+
+        for cp in in_copies(c, i, p):
+            cp.wait()
+
+        @pl.when(i >= 1)
+        def _():
+            for cp in out_copies(c, i - 1, 1 - p):
+                cp.wait()
+
+        @pl.when(i + 1 < n_bands)
+        def _():
+            for cp in in_copies(c, i + 1, 1 - p):
+                cp.start()
+
+        start, own_w = geom(i)
+        halo_ctx = (start, nx, own_w, own_w + rows)
+        u2, q2, up, qp, norms = _vol_chunk_core(
+            sstate[0], sstate[1], theta, lmb, radius,
+            us2[p], qs2[p], fs2[p], ws2[p], count, dataterm,
+            halo_ctx=halo_ctx)
+        for j in range(4):
+            nacc[j, i] = norms[j]
+
+        us2[p] = u2
+        qs2[p] = q2
+        ws2[p] = up
+        qps2[p] = qp
+        for cp in out_copies(c, i, p):
+            cp.start()
+
+        @pl.when(i == n_bands - 1)
+        def _():
+            for cp in out_copies(c, i, p):
+                cp.wait()
+            n0 = n1 = n2 = n3 = jnp.zeros((), u2.dtype)
+            for j in range(n_bands):
+                n0 += nacc[0, j]
+                n1 += nacc[1, j]
+                n2 += nacc[2, j]
+                n3 += nacc[3, j]
+            pr = jnp.sqrt(n0)
+            pn_ = jnp.sqrt(n1)
+            dr = jnp.sqrt(n2)
+            dn_ = jnp.sqrt(n3)
+            it = it0 + ((c + 1) * count - 1).astype(u2.dtype)
+            tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
+                stepsize, consts, tols4, it, sstate[0], sstate[1],
+                sstate[2], sstate[3], sstate[4], pr, pn_, dr, dn_)
+            sstate[0] = tau2
+            sstate[1] = sigma2
+            sstate[2] = aa2
+            sstate[3] = al2
+            sstate[4] = au2
+            sstate[5] = cv.astype(u2.dtype)
+            sstate[6] = sstate[6] + 1.0
+            norms_ref[0] = pr
+            norms_ref[1] = pn_
+            norms_ref[2] = dr
+            norms_ref[3] = dn_
+
+    @pl.when(step == k_chunks * n_bands - 1)
+    def _():
+        for j in range(7):
+            sout_ref[j] = sstate[j]
+        sout_ref[7] = lax.rem(sstate[6], 2.0)  # final ping-pong slot
+
+
+def vol_fused_multichunk_banded(u, q, f, w, scal13, count, k_chunks,
+                                n_bands: int, dataterm: str,
+                                stepsize: str, consts,
+                                interpret: bool = False):
+    """Up to ``k_chunks * count`` banded fused volumetric iterations in
+    ONE kernel with in-kernel adaptation/convergence.  Returns
+    (u2, q2, u_prev, q_prev, norms, sout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    L, nx, ny = u.shape
+    halo = -(-(2 * int(count) + 2) // 8) * 8
+    rows = nx // n_bands
+    assert rows * n_bands == nx and rows % 8 == 0, (nx, n_bands)
+    ext = min(rows + 2 * halo, nx)
+
+    def dbl(a):
+        return jnp.zeros((2,) + a.shape, a.dtype).at[0].set(a)
+
+    u2_in, q2_in = dbl(u), dbl(q)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out_shape = [
+        jax.ShapeDtypeStruct(u2_in.shape, u.dtype),
+        jax.ShapeDtypeStruct(q2_in.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4,), u.dtype),
+        jax.ShapeDtypeStruct((8,), u.dtype),
+    ]
+    dt = u.dtype
+    vm = pltpu.VMEM
+    scratch = [
+        vm((2, L, ext, ny), dt), vm((2, 3, L, ext, ny), dt),
+        vm((2, L, ext, ny), dt), vm((2, L, ext, ny), dt),
+        vm((2, 3, L, ext, ny), dt),
+        pltpu.SMEM((7,), dt), pltpu.SMEM((4, n_bands), dt),
+        pltpu.SemaphoreType.DMA((2,)), pltpu.SemaphoreType.DMA((2,)),
+    ]
+    outs = pl.pallas_call(
+        partial(_vol_banded_mc_kernel, count=int(count),
+                k_chunks=int(k_chunks), nx=nx, ny=ny, rows=rows,
+                halo=halo, n_bands=n_bands, dataterm=dataterm,
+                stepsize=stepsize, consts=consts),
+        grid=(int(k_chunks), int(n_bands)),
+        out_shape=out_shape,
+        in_specs=[smem] + [hbm] * 4,
+        out_specs=[hbm, hbm, hbm, hbm, smem, smem],
+        scratch_shapes=scratch,
+        input_output_aliases={1: 0, 2: 1},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal13, u2_in, q2_in, f, w)
+    u2_2, q2_2, up, qp, norms, sout = outs
+    slot = sout[7].astype(jnp.int32)
+    u2 = lax.dynamic_index_in_dim(u2_2, slot, 0, keepdims=False)
+    q2 = lax.dynamic_index_in_dim(q2_2, slot, 0, keepdims=False)
+    return u2, q2, up, qp, norms, sout
+
+
 def _vol_banded_db_kernel(scal_ref, off_ref, u_hbm, q_hbm, f_hbm, w_hbm,
                           uo, qo, upo, qpo, norms_ref,
                           us2, qs2, fs2, ws2, qps2, in_sem, out_sem, *,
@@ -748,13 +965,48 @@ def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
 
     state = lax.while_loop(cond_a, generic, state)
 
-    # phase B0 (whole-volume only): multi-chunk launches with in-kernel
-    # adaptation (cf. fused_rof phase B0); k_chunks=0 disables
+    def multi_chunk_banded(s: PDHGState) -> PDHGState:
+        from .fused_rof import pdhg_adapt_consts
+
+        u = s.x.reshape(L, nx, ny)
+        q = s.y.reshape(3, L, nx, ny)
+        dt = u.dtype
+        scal13 = jnp.stack([
+            s.tau, s.sigma, s.theta,
+            jnp.asarray(lmb, dt), radius.astype(dt),
+            s.arg_alpha, s.arb_l, s.arb_u, s.iteration.astype(dt),
+            jnp.asarray(tols[0], dt), jnp.asarray(tols[1], dt),
+            jnp.asarray(tols[2], dt), jnp.asarray(tols[3], dt),
+        ])
+        u2, q2, up, qp, norms, sc = vol_fused_multichunk_banded(
+            u, q, f_vol, w_vol, scal13, ri, k_chunks, n_bands, dataterm,
+            opts.stepsize, pdhg_adapt_consts(problem, opts),
+            interpret=interpret)
+        done = sc[6].astype(jnp.int32)
+        return dataclasses.replace(
+            s,
+            x=u2.reshape(-1), y=q2.reshape(-1),
+            x_prev=up.reshape(-1), y_prev=qp.reshape(-1),
+            tau=sc[0], sigma=sc[1], arg_alpha=sc[2],
+            arb_l=sc[3], arb_u=sc[4], converged=sc[5] > 0.5,
+            primal_residual=norms[0], primal_var_norm=norms[1],
+            dual_residual=norms[2], dual_var_norm=norms[3],
+            iteration=s.iteration + done * ri,
+        )
+
+    # phase B0: multi-chunk launches with in-kernel adaptation (cf.
+    # fused_rof phase B0); k_chunks=0 disables; the banded variant is
+    # gated on the double-buffer window footprint
     if n_bands == 1 and k_chunks > 0:
         def cond_b0(s):
             return (s.iteration + k_chunks * ri <= until) & ~s.converged
 
         state = lax.while_loop(cond_b0, multi_chunk, state)
+    elif n_bands > 1 and k_chunks > 0 and double_buffer:
+        def cond_b0(s):
+            return (s.iteration + k_chunks * ri <= until) & ~s.converged
+
+        state = lax.while_loop(cond_b0, multi_chunk_banded, state)
 
     def cond_b(s):
         return (s.iteration + ri <= until) & ~s.converged

@@ -173,3 +173,40 @@ def test_vol_multichunk_matches_generic():
     np.testing.assert_allclose(np.asarray(fs.y), np.asarray(gs.y),
                                atol=2e-5)
     np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+
+def test_vol_banded_multichunk_matches_generic():
+    """Phase B0-banded for vol (vol_fused_multichunk_banded) must follow
+    the generic trajectory, incl. mid-launch convergence."""
+    L, nx, ny = 3, 64, 16
+    rng = np.random.RandomState(29)
+    f = rng.rand(L * nx * ny).astype(np.float32)
+    prob = vol_problem(L, nx, ny, f, 6.0)
+    popts = PDHGOptions(stepsize="boyd", residual_iter=3,
+                        scale_steps_operator=False)
+
+    def sopts(t):
+        return _opts(tol_rel_primal=t, tol_rel_dual=t, tol_abs_primal=t,
+                     tol_abs_dual=t)
+
+    gen = BackendPDHG(prob, popts, sopts(1e-5))
+    gs = gen.run(gen.initial_state(), 100)
+    fus = FusedROFPDHG(prob, popts, sopts(1e-5), interpret=True)
+    fus.vol["n_bands"] = 4          # force the banded multichunk path
+    fus.vol["double_buffer"] = True
+    fs = fus.run(fus.initial_state(), 100)
+    assert int(fs.iteration) == int(gs.iteration) == 100
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(fs.tau), float(gs.tau), rtol=1e-6)
+
+    gen = BackendPDHG(prob, popts, sopts(1e-3))
+    gs = gen.run(gen.initial_state(), 10000)
+    fus = FusedROFPDHG(prob, popts, sopts(1e-3), interpret=True)
+    fus.vol["n_bands"] = 4
+    fus.vol["double_buffer"] = True
+    fs = fus.run(fus.initial_state(), 10000)
+    assert bool(fs.converged) == bool(gs.converged)
+    assert int(fs.iteration) == int(gs.iteration)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=2e-4)
