@@ -517,6 +517,54 @@ def verify_banded_multichunk_ml():
     return ok and _check("chunks_done", jnp.asarray(float(K)), sout[6])
 
 
+def verify_banded_multichunk_vol():
+    """The banded volumetric multi-chunk kernel vs K sequential banded
+    chunk launches + host adaptation, on hardware."""
+    import math
+
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_rof import adapt_scalars
+    from prost_tpu.ops.fused_vol import (vol_fused_chunk_banded,
+                                         vol_fused_multichunk_banded)
+
+    print("vol banded multi-chunk (4x512x256, nb=4, ri=10, K=4):")
+    rng = np.random.RandomState(20)
+    L, nx, ny = 4, 512, 256
+    ri, K, nb = 10, 4, 4
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    w = jnp.ones_like(u)
+    nrows, ncols = float(3 * L * nx * ny), float(L * nx * ny)
+    consts = (math.sqrt(nrows), math.sqrt(ncols), 1.5, 0.95, 1.05, 0.8)
+    t = 1e-4
+
+    tau = sigma = jnp.asarray(1.0, jnp.float32)
+    aa = jnp.asarray(0.5, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    us, qs = u, q
+    for c in range(K):
+        u2, q2, up_, qp_, n2 = vol_fused_chunk_banded(
+            us, qs, f, w, tau, sigma, 1.0, 6.0, 0.5, ri, nb)
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri - 1, jnp.float32)
+        tau, sigma, aa, al, au, _ = adapt_scalars(
+            "boyd", consts, (t, t, t, t), it, tau, sigma, aa, al, au,
+            pr, pn, dr, dn)
+        us, qs = u2, q2
+    scal13 = jnp.asarray(
+        [1.0, 1.0, 1.0, 6.0, 0.5, 0.5, 0.0, 0.0, 0.0, t, t, t, t],
+        jnp.float32)
+    mu, mq, mup, mqp, mnorms, sout = vol_fused_multichunk_banded(
+        u, q, f, w, scal13, ri, K, nb, "square", "boyd", consts)
+    ok = _check("u", us, mu)
+    ok = _check("q", qs, mq) and ok
+    ok = _check("tau", tau, sout[0], tol=1e-6) and ok
+    return ok and _check("chunks_done", jnp.asarray(float(K)), sout[6])
+
+
 def verify_sharded_banded_ml():
     """Banding WITHIN a multilabel shard block (nonzero shard-global
     off_ref) on hardware — round-3 verified only ROF's composition."""
@@ -782,6 +830,7 @@ def main():
                      ("multichunk", verify_multichunk),
                      ("banded_multichunk", verify_banded_multichunk),
                      ("banded_multichunk_ml", verify_banded_multichunk_ml),
+                     ("banded_multichunk_vol", verify_banded_multichunk_vol),
                      ("sharded_banded", verify_sharded_banded),
                      ("sharded_banded_ml", verify_sharded_banded_ml),
                      ("sharded_banded_tight", verify_sharded_banded_tight),
