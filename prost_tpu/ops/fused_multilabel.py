@@ -114,7 +114,8 @@ def _ml_update(u, qx, qy, s, gx, gy, su, tf, tau, sig_q, sig_s, theta,
 
 
 def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
-                   count: int, L: int, halo_ctx=None):
+                   count: int, L: int, halo_ctx=None, g0=None,
+                   return_g=False):
     """The math of one residual_iter-sized chunk: ``count - 1`` plain
     iterations, then the aligned iteration with its four preconditioned
     residual norms (squared).  Shared by the whole-plane, halo-sharded,
@@ -125,8 +126,16 @@ def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
     cover only the owned local rows so a cross-band sum reproduces the
     global norms exactly.
 
-    Returns ((u2, q2, s2), (u_prev, q_prev, s_prev), norms) with q as
-    (2L, ...) stacked [gx; gy].
+    ``g0`` optionally seeds the carried derived planes
+    (dx(u0), dy(u0), sum_l u0) computed by a previous chunk;
+    ``return_g=True`` appends the aligned iteration's derived planes to
+    the returns for that carry (cf. fused_rof._chunk_core).
+
+    Returns ((u2, q2, s2), (u_prev, q_prev, s_prev), norms
+    [, (gx2, gy2, su2)]) with q as (2L, ...) stacked [gx; gy]; ``q0``
+    may be passed pre-split as a (qx0, qy0) tuple (the multichunk
+    kernel carries the halves separately to avoid per-chunk
+    concatenate/slice copies).
     """
     from jax.experimental.pallas import tpu as pltpu
 
@@ -155,10 +164,11 @@ def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
             radius, d_s, ops)
         return u, qx, qy, s, gx, gy, su
 
+    qx0, qy0 = q0 if isinstance(q0, tuple) else (q0[:L], q0[L:])
+    if g0 is None:
+        g0 = (_dx(u0), _dy(u0), jnp.sum(u0, axis=0))
     u, qx, qy, s, gxp, gyp, sup = lax.fori_loop(
-        0, count - 1, body,
-        (u0, q0[:L], q0[L:], s0,
-         _dx(u0), _dy(u0), jnp.sum(u0, axis=0)))
+        0, count - 1, body, (u0, qx0, qy0, s0) + tuple(g0))
 
     # aligned iteration; (gxp, gyp, sup) = K x_prev carried for free
     u2, qx2, qy2, s2, gx2, gy2, su2, ktyp = _ml_update(
@@ -186,6 +196,9 @@ def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
         nsum(dd * dd),
         nsum(wh * wh),
     )
+    if return_g:
+        return ((u2, qx2, qy2, s2), (u, qx, qy, s), norms,
+                (gx2, gy2, su2))
     return (u2, qx2, qy2, s2), (u, qx, qy, s), norms
 
 
@@ -303,21 +316,34 @@ def _ml_multichunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
     f = f_ref[...]
     zero = jnp.zeros((), u0.dtype)
 
+    from jax.experimental.pallas import tpu as pltpu
+
+    ops0 = _shift_ops_3d(f.shape, pltpu.roll)
+    gx0, gy0, su0 = ops0[0](u0), ops0[1](u0), jnp.sum(u0, axis=0)
+
     def chunk(c, carry):
         planes, scal, _ = carry
         conv = scal[5]
 
         def run(t):
             planes_t, scal_t, _ = t
-            u, q, sm, _, _, _ = planes_t
+            # q carried as SPLIT (qx, qy) planes, the derived planes
+            # (gx, gy, su) carried across chunks, and the PREV iterate
+            # written straight to the output refs here instead of riding
+            # the carry — both shrink the cond-boundary carry footprint
+            # (a 14-22% multichunk-vs-single-chunk kernel gap was
+            # measured on carry-heavy versions of this kernel)
+            (u, qx, qy, sm, gx, gy, su) = planes_t
             tau_t, sigma_t, aa_t, al_t, au_t, _, done_t = scal_t
-            new, prev, nrm = _ml_chunk_core(
-                tau_t, sigma_t, theta, radius, d_s, u, q, sm, f,
-                count, L)
+            new, prev, nrm, g2 = _ml_chunk_core(
+                tau_t, sigma_t, theta, radius, d_s, u, (qx, qy), sm, f,
+                count, L, g0=(gx, gy, su), return_g=True)
             u2, qx2, qy2, s2 = new
             up, qxp, qyp, sp = prev
-            q2 = jnp.concatenate([qx2, qy2], axis=0)
-            qp = jnp.concatenate([qxp, qyp], axis=0)
+            upo_ref[...] = up
+            qpo_ref[0:L] = qxp
+            qpo_ref[L:] = qyp
+            spo_ref[...] = sp
             pr = jnp.sqrt(nrm[0])
             pn_ = jnp.sqrt(nrm[1])
             dr = jnp.sqrt(nrm[2])
@@ -326,20 +352,20 @@ def _ml_multichunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
             tau2, sigma2, aa2, al2, au2, cv = adapt_scalars(
                 stepsize, consts, tols4, it, tau_t, sigma_t, aa_t,
                 al_t, au_t, pr, pn_, dr, dn_)
-            return ((u2, q2, s2, up, qp, sp),
+            return ((u2, qx2, qy2, s2, g2[0], g2[1], g2[2]),
                     (tau2, sigma2, aa2, al2, au2, cv, done_t + 1.0),
                     (pr, pn_, dr, dn_))
 
         return lax.cond(conv, lambda t: t, run, carry)
 
     init = (
-        (u0, q0, s0, u0, q0, s0),
+        (u0, q0[0:L], q0[L:], s0, gx0, gy0, su0),
         (scal_ref[0], scal_ref[1], scal_ref[5], scal_ref[6], scal_ref[7],
          jnp.asarray(False), zero),
         (zero, zero, zero, zero),
     )
     planes, scal, norms = lax.fori_loop(0, k_chunks, chunk, init)
-    u2, q2, s2, up, qp, sp = planes
+    u2, qx2, qy2, s2, _, _, _ = planes
     tau, sigma, arg_alpha, arb_l, arb_u, conv, done = scal
     for i in range(4):
         norms_ref[i] = norms[i]
@@ -347,11 +373,9 @@ def _ml_multichunk_kernel(scal_ref, u_ref, q_ref, s_ref, f_ref,
                            conv.astype(u0.dtype), done)):
         sout_ref[i] = v
     uo_ref[...] = u2
-    qo_ref[...] = q2
+    qo_ref[0:L] = qx2
+    qo_ref[L:] = qy2
     so_ref[...] = s2
-    upo_ref[...] = up
-    qpo_ref[...] = qp
-    spo_ref[...] = sp
 
 
 def ml_fused_multichunk(u, q, s, f, scal13, count, k_chunks,
