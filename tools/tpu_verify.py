@@ -414,6 +414,59 @@ def verify_multichunk():
     return ok
 
 
+def verify_multichunk_ml():
+    """The ml whole-plane multichunk kernel (prev iterate written to the
+    output refs INSIDE the cond-active branch) vs K sequential chunks +
+    host adaptation, on hardware."""
+    import math
+
+    import jax.numpy as jnp
+
+    from prost_tpu.ops.fused_multilabel import (ml_fused_chunk,
+                                                ml_fused_multichunk)
+    from prost_tpu.ops.fused_rof import adapt_scalars
+
+    print("ml multi-chunk (256x256x8, ri=10, K=4):")
+    rng = np.random.RandomState(21)
+    L, nx, ny = 8, 256, 256
+    ri, K = 10, 4
+    u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
+    f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
+    nrows = float(2 * L * nx * ny + nx * ny)
+    ncols = float(L * nx * ny)
+    consts = (math.sqrt(nrows), math.sqrt(ncols), 1.5, 0.95, 1.05, 0.8)
+    t = 1e-4
+
+    tau = sigma = jnp.asarray(1.0, jnp.float32)
+    aa = jnp.asarray(0.5, jnp.float32)
+    al = au = jnp.asarray(0.0, jnp.float32)
+    us, qs, ss = u, q, s
+    up = qp = sp = None
+    for c in range(K):
+        u2, q2, s2, up, qp, sp, n2 = ml_fused_chunk(
+            us, qs, ss, f, tau, sigma, 1.0, 0.5, 1.0, ri)
+        pr, pn = jnp.sqrt(n2[0]), jnp.sqrt(n2[1])
+        dr, dn = jnp.sqrt(n2[2]), jnp.sqrt(n2[3])
+        it = jnp.asarray((c + 1) * ri - 1, jnp.float32)
+        tau, sigma, aa, al, au, _ = adapt_scalars(
+            "boyd", consts, (t, t, t, t), it, tau, sigma, aa, al, au,
+            pr, pn, dr, dn)
+        us, qs, ss = u2, q2, s2
+    scal13 = jnp.asarray(
+        [1.0, 1.0, 1.0, 0.5, 1.0, 0.5, 0.0, 0.0, 0.0, t, t, t, t],
+        jnp.float32)
+    mu, mq, ms, mup, mqp, msp, mnorms, sout = ml_fused_multichunk(
+        u, q, s, f, scal13, ri, K, "boyd", consts)
+    ok = _check("u", us, mu)
+    ok = _check("q", qs, mq) and ok
+    ok = _check("u_prev", up, mup) and ok
+    ok = _check("q_prev", qp, mqp) and ok
+    ok = _check("tau", tau, sout[0], tol=1e-6) and ok
+    return ok and _check("chunks_done", jnp.asarray(float(K)), sout[6])
+
+
 def verify_banded_multichunk():
     """The banded multi-chunk kernel (rof_fused_multichunk_banded:
     grid (K, bands), in-place ping-pong slots, in-kernel adaptation on
@@ -828,6 +881,7 @@ def main():
                      ("admm", verify_admm), ("admm_banded", verify_admm_banded),
                      ("admm_chunk_banded", verify_admm_chunk_banded),
                      ("multichunk", verify_multichunk),
+                     ("multichunk_ml", verify_multichunk_ml),
                      ("banded_multichunk", verify_banded_multichunk),
                      ("banded_multichunk_ml", verify_banded_multichunk_ml),
                      ("banded_multichunk_vol", verify_banded_multichunk_vol),
