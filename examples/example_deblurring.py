@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
 def motion_kernel(length=9, angle_deg=45.0):
@@ -55,7 +56,7 @@ def convmtx2(kernel, ny, nx):
     return B.tocsc(), ny2, nx2
 
 
-def run(size=128, max_iters=25000, verbose=True):
+def run(size=128, max_iters=25000, verbose=True, image="flowers"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -65,7 +66,8 @@ def run(size=128, max_iters=25000, verbose=True):
     n = nx * ny
     lmb = 100.0
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1))
+    # the reference deblurs flowers.png (example_deblurring.m:3)
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1))
 
     kernel = motion_kernel(min(9, max(3, size // 14)))
     B, ny2, nx2 = convmtx2(kernel, ny, nx)

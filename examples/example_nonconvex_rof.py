@@ -20,10 +20,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=2000, verbose=True):
+def run(size=128, max_iters=2000, verbose=True, image="house"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -32,7 +33,10 @@ def run(size=128, max_iters=2000, verbose=True):
     ny = nx = size
     n = nx * ny
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1)) + 0.05 * rng.randn(n)
+    # piecewise-constant subject (house-facade fixture): the class of
+    # image truncated-quadratic regularizers are built for
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1)) \
+        + 0.05 * rng.randn(n)
 
     lam, alpha = 0.05, 30.0
 

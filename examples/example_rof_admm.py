@@ -17,10 +17,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=1000, rho0=15.0, verbose=True):
+def run(size=128, max_iters=1000, rho0=15.0, verbose=True,
+        image="lion"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -30,7 +32,10 @@ def run(size=128, max_iters=1000, rho0=15.0, verbose=True):
     n = nx * ny
     lmb = 16.0
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1)) + 0.05 * rng.randn(n)
+    # same observation as example_rof_primaldual (lion fixture), so the
+    # ADMM-vs-PDHG energy cross-check compares the same problem
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1)) \
+        + 0.05 * rng.randn(n)
 
     u = pt.Variable(n)
     g = pt.Variable(2 * n)

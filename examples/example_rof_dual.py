@@ -20,10 +20,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=20000, verbose=True):
+def run(size=128, max_iters=20000, verbose=True, image="dog"):
     import scipy.sparse as sp
 
     import prost_tpu as pt
@@ -33,7 +34,9 @@ def run(size=128, max_iters=20000, verbose=True):
     n = nx * ny
     lmb = 0.3
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1)) + 0.05 * rng.randn(n)
+    # the reference's dual solve runs on dog.png (example_rof_dual.m:3)
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1)) \
+        + 0.05 * rng.randn(n)
 
     # -grad^T as an explicit sparse matrix (the reference uses
     # prost.block.sparse(-grad'), example_rof_dual.m:22)

@@ -18,10 +18,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=5000, verbose=True):
+def run(size=128, max_iters=5000, verbose=True, image="lion"):
     import prost_tpu as pt
     from prost_tpu import block, function
 
@@ -29,7 +30,9 @@ def run(size=128, max_iters=5000, verbose=True):
     n = nx * ny
     lmb = 10.0
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1)) + 0.05 * rng.randn(n)
+    # the reference denoises lion.png (example_rof_primal.m:3)
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1)) \
+        + 0.05 * rng.randn(n)
 
     u = pt.Variable(n)
     g = pt.Variable(2 * n)

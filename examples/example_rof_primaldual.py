@@ -16,10 +16,12 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=10000, gap_tol=1e-5, verbose=True):
+def run(size=128, max_iters=10000, gap_tol=1e-5, verbose=True,
+        image="lion"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -29,7 +31,8 @@ def run(size=128, max_iters=10000, gap_tol=1e-5, verbose=True):
     n = nx * ny
     lmb = 16.0
     rng = np.random.RandomState(42)
-    im = synthetic_image(ny, nx, 1)
+    # the reference denoises lion.png (example_rof_primaldual.m:3)
+    im = fixture_or_synthetic(image, ny, nx, 1)
     f = flatten_image(im) + 0.05 * rng.randn(n)
 
     u = pt.Variable(n)

@@ -19,10 +19,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu, load_fixture_image)
 
 
-def run(size=128, max_iters=50000, verbose=True):
+def run(size=128, max_iters=50000, verbose=True, image="lion"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -32,12 +33,21 @@ def run(size=128, max_iters=50000, verbose=True):
     n = nx * ny
     lmb = 7.0
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1)) + 0.02 * rng.randn(n)
-    # mask: drop a band plus random 30% of pixels (maske2.png role)
-    m = np.ones(n)
-    m[rng.rand(n) < 0.3] = 0.0
-    band = (np.arange(n) // ny % nx > nx // 3) & (np.arange(n) // ny % nx < nx // 3 + 3)
-    m[band] = 0.0
+    # the reference inpaints lion.png under the maske2.png scribble mask
+    # (example_tv_inpaint.m:5-10: m = 1 - (mask > 0), so the data term
+    # vanishes exactly on the white strokes)
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1)) \
+        + 0.02 * rng.randn(n)
+    if image == "synthetic":
+        # mask: drop a band plus random 30% of pixels (maske2.png role)
+        m = np.ones(n)
+        m[rng.rand(n) < 0.3] = 0.0
+        band = ((np.arange(n) // ny % nx > nx // 3)
+                & (np.arange(n) // ny % nx < nx // 3 + 3))
+        m[band] = 0.0
+    else:
+        mask = load_fixture_image("maske2", size=(ny, nx))
+        m = 1.0 - flatten_image((mask > 0.5)[..., None].astype(np.float64))
 
     u = pt.Variable(n)
     q = pt.Variable(2 * n)

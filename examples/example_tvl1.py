@@ -15,10 +15,11 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
-from _common import add_std_args, flatten_image, force_cpu, synthetic_image
+from _common import (add_std_args, fixture_or_synthetic, flatten_image,
+                     force_cpu)
 
 
-def run(size=128, max_iters=50000, verbose=True):
+def run(size=128, max_iters=50000, verbose=True, image="fisch"):
     import jax.numpy as jnp
 
     import prost_tpu as pt
@@ -28,7 +29,8 @@ def run(size=128, max_iters=50000, verbose=True):
     n = nx * ny
     lmb = 1.0
     rng = np.random.RandomState(42)
-    f = flatten_image(synthetic_image(ny, nx, 1))
+    # the reference runs TV-L1 on Fisch.jpg (example_tvl1.m:5)
+    f = flatten_image(fixture_or_synthetic(image, ny, nx, 1))
     # salt & pepper: 25% white, 25% black (example_tvl1.m:10-14)
     pix = rng.permutation(n)
     nbad = round(0.25 * n)

@@ -753,7 +753,7 @@ def admm_banded_iter(xh, xp, xd, zh, zp, zd, warm, f, w, rho, lmb, radius,
     off = jnp.asarray(
         [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     def oshape(a):
         return jax.ShapeDtypeStruct(
@@ -1043,7 +1043,7 @@ def admm_banded_chunk(xh2, xp2, xd2, zh2, zd2, warm2, f, w, base, rho,
                       fac.astype(dt)])
     base_v = jnp.asarray(base, jnp.int32).reshape(1)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
                  for a in (xh2, xp2, xd2, zh2, zd2, warm2)]
@@ -1174,9 +1174,11 @@ class FusedROFADMM(BackendADMM):
             elif proj in ("auto", "cheby"):
                 # chunked banded kernel: grid (ri, n_bands), window DMAs
                 # pipelined across the whole chunk (admm_banded_chunk);
-                # the planner prefers the double-buffered footprint only
-                # when it does not force a wider tiling (same guard as
-                # the ROF routing, fused_rof.py)
+                # the planner prefers the double-buffered footprint even
+                # when it forces a wider tiling — the OPPOSITE of the
+                # ROF guard, because this kernel refetches its windows
+                # every iteration, so hiding the DMA beats minimizing
+                # halo recompute (measurements in admm_chunk_band_plan)
                 plan_b = admm_chunk_band_plan(self.rof["nx"],
                                               self.rof["ny"],
                                               opts.cheby_degree)

@@ -763,7 +763,7 @@ def deblur_fused_chunk_banded(x, yv, q, fb, sv, tau, sigma, theta, lmb,
     off = jnp.asarray(
         [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     def oshape(a):
         return jax.ShapeDtypeStruct(

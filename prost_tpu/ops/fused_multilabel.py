@@ -598,7 +598,7 @@ def ml_fused_multichunk_banded(u, q, s, f, scal13, count, k_chunks,
 
     u2_in, q2_in, s2_in = dbl(u), dbl(q), dbl(s)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [
         jax.ShapeDtypeStruct(u2_in.shape, u.dtype),
         jax.ShapeDtypeStruct(q2_in.shape, q.dtype),
@@ -896,7 +896,7 @@ def ml_fused_chunk_banded(u, q, s, f, tau, sigma, theta, radius, d_s,
     off = jnp.asarray(
         [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [
         jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
         jax.ShapeDtypeStruct((2 * L, out_rows, ny), q.dtype),

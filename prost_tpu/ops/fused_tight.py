@@ -421,7 +421,7 @@ def tight_fused_chunk_banded(u, v, q, p, s, f, tau, sigma, theta, radius,
     off = jnp.asarray(
         [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
 
     def oshape(a):
         return jax.ShapeDtypeStruct(

@@ -607,7 +607,7 @@ def vol_fused_multichunk_banded(u, q, f, w, scal13, count, k_chunks,
 
     u2_in, q2_in = dbl(u), dbl(q)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [
         jax.ShapeDtypeStruct(u2_in.shape, u.dtype),
         jax.ShapeDtypeStruct(q2_in.shape, q.dtype),
@@ -749,7 +749,7 @@ def vol_fused_chunk_banded(u, q, f, w, tau, sigma, theta, lmb, radius,
     off = jnp.asarray(
         [0 if row_offset0 is None else row_offset0], jnp.int32)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out_shape = [
         jax.ShapeDtypeStruct((L, out_rows, ny), u.dtype),
         jax.ShapeDtypeStruct((3, L, out_rows, ny), q.dtype),

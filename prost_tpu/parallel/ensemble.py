@@ -530,7 +530,7 @@ def _batched_fused_ml_run(opts, nx, ny, L, mesh, axis_name, interpret,
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10),
-         donate_argnums=(17,))
+         donate_argnums=(18,))
 def _batched_fused_deblur_run(opts, nx, ny, nx2, ny2, taps, sig_q, tau_t,
                               mesh, axis_name, interpret,
                               batched_problem, prox_g, prox_fstar,

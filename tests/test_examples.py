@@ -87,8 +87,11 @@ def test_rof_energy_matches_independent_oracle():
     f64 = np.asarray(out["f"], np.float64)
     lmb = out["lmb"]
     K = _grad(size)
+    # rho ~ 2*lmb matches the data term's strong-convexity modulus; on the
+    # lion fixture the default rho=1 leaves a 1.4e-6 relative gap after
+    # 30k iterations while rho=30 certifies at 2.3e-9 (measured)
     u_star, y_star, _ = graph_admm_with_dual(
-        K, prox_weighted_square(f64, lmb), prox_group_l2((2, n)))
+        K, prox_weighted_square(f64, lmb), prox_group_l2((2, n)), rho=30.0)
     e_opt = rof_energy(K, u_star, f64, lmb, n)
     # certify the oracle: duality gap at (u*, y*) ~ machine precision
     assert rof_dual_gap(K, u_star, f64, lmb, n, p=y_star) < 1e-8 * e_opt

@@ -407,3 +407,35 @@ def test_batched_fused_deblur_matches_generic_vmap():
                                atol=5e-5)
     np.testing.assert_allclose(np.asarray(fs.tau), np.asarray(gs.tau),
                                rtol=1e-6)
+
+
+def test_batched_fused_deblur_repeated_run():
+    """BatchedPDHG.run() must be callable repeatedly on the batched-deblur
+    path: the jitted chunk loop donates the STATE argument (not the
+    persistent per-instance coefficient arrays held in self.deblur), so a
+    second run() — continuing from the first run's returned state — must
+    not hit a deleted-array error and must match one long run."""
+    from test_fused_deblur import deblur_problem
+
+    nx = ny = 12
+    problems = [deblur_problem(nx, ny, lmb=float(lmb), seed=i)[0]
+                for i, lmb in enumerate((20.0, 35.0, 50.0))]
+    popts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                        scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0,
+                             tol_rel_dual=0, tol_abs_primal=0,
+                             tol_abs_dual=0)
+
+    fus = BatchedPDHG(problems, popts, sopts, interpret=True)
+    assert fus.deblur is not None
+    once = fus.run(fus.initial_state(), 30)
+
+    two = BatchedPDHG(problems, popts, sopts, interpret=True)
+    s = two.run(two.initial_state(), 15)
+    s = two.run(s, 30)  # second call: donated buffers must not be reused
+
+    np.testing.assert_array_equal(np.asarray(s.iteration), 30)
+    np.testing.assert_allclose(np.asarray(s.x), np.asarray(once.x),
+                               atol=5e-6)
+    np.testing.assert_allclose(np.asarray(s.y), np.asarray(once.y),
+                               atol=5e-6)
