@@ -250,6 +250,71 @@ def tight_fused_chunk_halo(u, v, q, p, s, f, scal, count, nx_global, taps,
                               consts, True, nx_global, interpret)
 
 
+def _tight_chunk_kernel_batched(scal_ref, u_ref, v_ref, q_ref, p_ref,
+                                s_ref, f_ref, uo, vo, qo, po, so,
+                                upo, vpo, qpo, ppo, spo, norms_ref, *,
+                                count, L, k, taps, consts):
+    """Gridded batch variant (cf. fused_multilabel
+    ._ml_chunk_kernel_batched): grid = (B,), one instance per grid step.
+    Plane refs carry a leading length-1 instance axis; scal_ref /
+    norms_ref are the WHOLE (5, B) / (4, B) SMEM arrays indexed by
+    program_id (instances-minor layout)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b = pl.program_id(0)
+    new, prev, norms = _chunk_core(
+        scal_ref[0, b], scal_ref[1, b], scal_ref[2, b], scal_ref[3, b],
+        scal_ref[4, b], u_ref[0], v_ref[0], q_ref[0], p_ref[0], s_ref[0],
+        f_ref[0], count, L, k, taps, consts, pltpu.roll)
+    for i in range(4):
+        norms_ref[i, b] = norms[i]
+    for ref, val in zip((uo, vo, qo, po, so), new):
+        ref[0] = val
+    for ref, val in zip((upo, vpo, qpo, ppo, spo), prev):
+        ref[0] = val
+
+
+def tight_fused_chunk_batched(u, v, q, p, s, f, scal, count, taps, consts,
+                              interpret: bool = False):
+    """Batched tight-relaxation chunk: grid over the instance axis, one
+    chunk per instance per kernel call (B tight-multilabel instances
+    sharing (L, k, taps, consts) advance one residual chunk in ONE
+    launch).  u/f are (B, L, nx, ny), v/p (B, 2k, nx, ny),
+    q (B, 2L, nx, ny), s (B, nx, ny); scal is (5, B) instances-minor
+    rows of [tau, sigma, theta, radius, d_s].  Returns
+    (new_state_tuple, prev_state_tuple, norms2) with leading batch axes
+    and norms2 (4, B)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, nx, ny = u.shape
+    k = v.shape[1] // 2
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    def spec(a):
+        shp = (1,) + a.shape[1:]
+        nd = len(a.shape)
+        return pl.BlockSpec(shp, lambda b, _n=nd: (b,) + (0,) * (_n - 1),
+                            memory_space=pltpu.VMEM)
+
+    state = (u, v, q, p, s)
+    out_shape = [jax.ShapeDtypeStruct(a.shape, a.dtype)
+                 for a in state + state]
+    out_shape.append(jax.ShapeDtypeStruct((4, B), u.dtype))
+    outs = pl.pallas_call(
+        partial(_tight_chunk_kernel_batched, count=int(count), L=L, k=k,
+                taps=taps, consts=consts),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=[smem] + [spec(a) for a in state] + [spec(f)],
+        out_specs=[spec(a) for a in state + state] + [smem],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, *state, f)
+    return outs[:5], outs[5:10], outs[10]
+
+
 def _tight_banded_kernel(scal_ref, off_ref, u_hbm, v_hbm, q_hbm, p_hbm,
                          s_hbm, f_hbm,
                          uo, vo, qo, po, so, upo, vpo, qpo, ppo, spo,

@@ -267,6 +267,68 @@ def vol_fused_chunk_halo(u, q, f, w, scal8, count, nx_global,
     )(scal8, u, q, f, w)
 
 
+def _vol_chunk_kernel_batched(scal_ref, u_ref, q_ref, f_ref, w_ref,
+                              uo_ref, qo_ref, upo_ref, qpo_ref,
+                              norms_ref, *, count: int, dataterm: str):
+    """Gridded batch variant (cf. fused_multilabel
+    ._ml_chunk_kernel_batched): grid = (B,), one instance per grid step.
+    Volume refs carry a leading length-1 instance axis; scal_ref /
+    norms_ref are the WHOLE (5, B) / (4, B) SMEM arrays indexed by
+    program_id (instances-minor layout)."""
+    from jax.experimental import pallas as pl
+
+    b = pl.program_id(0)
+    u2, q2, up, qp, norms = _vol_chunk_core(
+        scal_ref[0, b], scal_ref[1, b], scal_ref[2, b], scal_ref[3, b],
+        scal_ref[4, b], u_ref[0], q_ref[0], f_ref[0], w_ref[0], count,
+        dataterm)
+    for i in range(4):
+        norms_ref[i, b] = norms[i]
+    uo_ref[0] = u2
+    qo_ref[0] = q2
+    upo_ref[0] = up
+    qpo_ref[0] = qp
+
+
+def vol_fused_chunk_batched(u, q, f, w, scal, count,
+                            dataterm: str = "square",
+                            interpret: bool = False):
+    """Batched volumetric-TV chunk: grid over the instance axis, one
+    chunk per instance per kernel call (the batched analog of
+    ``vol_fused_chunk`` — B volumes advance one residual chunk in ONE
+    launch).  u/f/w are (B, L, nx, ny), q is (B, 3, L, nx, ny); scal is
+    (5, B) instances-minor rows of [tau, sigma, theta, lmb, radius].
+    Returns (u2, q2, u_prev, q_prev, norms2) with a leading batch axis
+    and norms2 (4, B)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    B, L, nx, ny = u.shape
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    uspec = pl.BlockSpec((1, L, nx, ny), lambda b: (b, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    qspec = pl.BlockSpec((1, 3, L, nx, ny), lambda b: (b, 0, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct(u.shape, u.dtype),
+        jax.ShapeDtypeStruct(q.shape, q.dtype),
+        jax.ShapeDtypeStruct((4, B), u.dtype),
+    ]
+    return pl.pallas_call(
+        partial(_vol_chunk_kernel_batched, count=int(count),
+                dataterm=dataterm),
+        grid=(B,),
+        out_shape=out_shape,
+        in_specs=[smem, uspec, qspec, uspec, uspec],
+        out_specs=[uspec, qspec, uspec, qspec, smem],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(scal, u, q, f, w)
+
+
 def _vol_multichunk_kernel(scal_ref, u_ref, q_ref, f_ref, w_ref,
                            uo_ref, qo_ref, upo_ref, qpo_ref,
                            norms_ref, sout_ref, *,

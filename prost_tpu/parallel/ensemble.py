@@ -85,12 +85,17 @@ class BatchedPDHG:
             self.prox_g = put(self.prox_g)
             self.prox_fstar = put(self.prox_fstar)
         self.rof = self._match_fused(problems, interpret)
-        self.ml = self.deblur = None
+        self.ml = self.deblur = self.tight = self.vol = None
         if self.rof is None:
             self.ml = self._match_fused_ml(problems, interpret)
         if self.rof is None and self.ml is None:
             self.deblur = self._match_fused_deblur(problems, backends,
                                                    interpret)
+        if self.rof is None and self.ml is None and self.deblur is None:
+            self.tight = self._match_fused_tight(problems, interpret)
+        if (self.rof is None and self.ml is None and self.deblur is None
+                and self.tight is None):
+            self.vol = self._match_fused_vol(problems, interpret)
 
     def _match_fused(self, problems, interpret):
         """Per-instance ROF structure matching for the batched fused Pallas
@@ -213,6 +218,81 @@ class BatchedPDHG:
             }
         return batched
 
+    def _match_fused_tight(self, problems, interpret):
+        """Per-instance tight-relaxation structure matching for the
+        batched fused path (grid = (B,), ops/fused_tight
+        .tight_fused_chunk_batched) — B tight-multilabel instances
+        sharing (nx, ny, L, k, taps, consts); f/radius/d_s may differ
+        per instance.  Instances above the whole-plane VMEM cap fall
+        back to the generic vmapped path."""
+        from ..ops.fused_tight import (match_tight_structure,
+                                       tight_fits_vmem)
+
+        usable = (jax.default_backend() != "cpu") or interpret
+        if not usable or self.opts.stepsize == "alg2":
+            return None
+        if self.opts.reference_residuals:
+            return None
+        ms = [match_tight_structure(p) for p in problems]
+        if any(m is None for m in ms):
+            return None
+        keys = {(m["nx"], m["ny"], m["L"], m["k"], m["taps"], m["consts"])
+                for m in ms}
+        if len(keys) != 1:
+            return None
+        nx, ny, L, k, taps, consts = keys.pop()
+        if not tight_fits_vmem(nx, ny, L, k):
+            return None
+        batched = {
+            "nx": nx, "ny": ny, "L": L, "k": k, "taps": taps,
+            "consts": consts,
+            "f": jnp.stack([m["f"] for m in ms]),
+            "radius": jnp.asarray([m["radius"] for m in ms], jnp.float32),
+            "d_s": jnp.asarray([m["d_s"] for m in ms], jnp.float32),
+        }
+        if self.mesh is not None:
+            batched = {
+                k_: (self._put_batched(v) if hasattr(v, "shape") else v)
+                for k_, v in batched.items()
+            }
+        return batched
+
+    def _match_fused_vol(self, problems, interpret):
+        """Per-instance volumetric-TV structure matching for the batched
+        fused path (grid = (B,), ops/fused_vol.vol_fused_chunk_batched)
+        — B (L, nx, ny) volumes sharing (L, nx, ny, dataterm);
+        f/w/lmb/radius may differ per instance.  Instances above the
+        whole-volume VMEM cap fall back to the generic vmapped path."""
+        from ..ops.fused_vol import match_vol_structure, vol_fits_vmem
+
+        usable = (jax.default_backend() != "cpu") or interpret
+        if not usable or self.opts.stepsize == "alg2":
+            return None
+        if self.opts.reference_residuals:
+            return None
+        ms = [match_vol_structure(p) for p in problems]
+        if any(m is None for m in ms):
+            return None
+        keys = {(m["L"], m["nx"], m["ny"], m["dataterm"]) for m in ms}
+        if len(keys) != 1:
+            return None
+        L, nx, ny, dataterm = keys.pop()
+        if not vol_fits_vmem(L, nx, ny):
+            return None
+        batched = {
+            "L": L, "nx": nx, "ny": ny, "dataterm": dataterm,
+            "f": jnp.stack([m["f"] for m in ms]),
+            "w": jnp.stack([m["w"] for m in ms]),
+            "lmb": jnp.asarray([m["lmb"] for m in ms], jnp.float32),
+            "radius": jnp.asarray([m["radius"] for m in ms], jnp.float32),
+        }
+        if self.mesh is not None:
+            batched = {
+                k_: (self._put_batched(v) if hasattr(v, "shape") else v)
+                for k_, v in batched.items()
+            }
+        return batched
+
     def _put_batched(self, tree):
         sh = NamedSharding(self.mesh, P(self.axis_name))
         return jax.tree.map(lambda leaf: jax.device_put(leaf, sh), tree)
@@ -273,6 +353,31 @@ class BatchedPDHG:
                 )
             except jax.errors.JaxRuntimeError:
                 self.deblur = None
+        if self.tight is not None:
+            t = self.tight
+            try:
+                return _batched_fused_tight_run(
+                    self.opts, t["nx"], t["ny"], t["L"], t["k"],
+                    (t["taps"], t["consts"]),
+                    self.mesh, self.axis_name, self.interpret,
+                    self.batched_problem, self.prox_g, self.prox_fstar,
+                    t["f"], t["radius"], t["d_s"],
+                    state, jnp.asarray(until_iter, jnp.int32), tols,
+                )
+            except jax.errors.JaxRuntimeError:
+                self.tight = None
+        if self.vol is not None:
+            v = self.vol
+            try:
+                return _batched_fused_vol_run(
+                    self.opts, v["L"], v["nx"], v["ny"], v["dataterm"],
+                    self.mesh, self.axis_name, self.interpret,
+                    self.batched_problem, self.prox_g, self.prox_fstar,
+                    v["f"], v["w"], v["lmb"], v["radius"],
+                    state, jnp.asarray(until_iter, jnp.int32), tols,
+                )
+            except jax.errors.JaxRuntimeError:
+                self.vol = None
         return _batched_pdhg_run(
             self.opts, self.batched_problem, self.prox_g, self.prox_fstar,
             state, jnp.asarray(until_iter, jnp.int32), tols,
@@ -631,6 +736,233 @@ def _batched_fused_deblur_run(opts, nx, ny, nx2, ny2, taps, sig_q, tau_t,
     xp_new, yp_new = unpack(*planes[3:])
     state = dataclasses.replace(
         state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+
+    vap = jax.vmap(lambda p, v: p.linop.apply(v))
+    vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
+    state = dataclasses.replace(
+        state,
+        kx=vap(batched_problem, state.x),
+        kty=vad(batched_problem, state.y),
+        kx_prev=vap(batched_problem, state.x_prev),
+        kty_prev=vad(batched_problem, state.y_prev),
+    )
+
+    def cond_c(s):
+        return jnp.any((s.iteration < until) & ~s.converged)
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7, 8),
+         donate_argnums=(15,))
+def _batched_fused_tight_run(opts, nx, ny, L, k, taps_consts, mesh,
+                             axis_name, interpret, batched_problem,
+                             prox_g, prox_fstar, f, radius, d_s,
+                             state, until, tols):
+    """Batched analog of fused_tight._fused_tight_run: the gridded batch
+    kernel (tight_fused_chunk_batched) advances every instance one chunk
+    per call; per-instance adaptive step sizes ride the (5, B) SMEM
+    scalar array.  Under a mesh the kernel runs under shard_map over the
+    batch axis with ZERO in-chunk collectives (cf.
+    _batched_fused_rof_run)."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..backend.pdhg import residual_and_adapt
+    from ..ops.fused_tight import tight_fused_chunk_batched
+
+    taps, consts = taps_consts
+    ri = max(int(opts.residual_iter), 1)
+    n = nx * ny
+    nL = n * L
+    nk2 = 2 * n * k
+
+    def raw_chunk(u, v, q, p, sm, ff, scal):
+        return tight_fused_chunk_batched(u, v, q, p, sm, ff, scal, ri,
+                                         taps, consts,
+                                         interpret=interpret)
+
+    if mesh is not None and mesh.devices.size > 1:
+        bspec = P(axis_name)
+        sspec = P(None, axis_name)  # (5, B) / (4, B) instances-minor
+        chunk_call = jax.shard_map(
+            raw_chunk, mesh=mesh,
+            in_specs=(bspec,) * 6 + (sspec,),
+            out_specs=((bspec,) * 5, (bspec,) * 5, sspec),
+            check_vma=False,
+        )
+    else:
+        chunk_call = raw_chunk
+
+    def step_one(problem, pg, pf, s):
+        return pdhg_step(problem, pg, pf, opts, tols, s)
+
+    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+    def generic(s):
+        return vstep(batched_problem, prox_g, prox_fstar, s)
+
+    def vadapt(problem, s, n0, n1, n2, n3, it):
+        return residual_and_adapt(problem, opts, tols, s, n0, n1, n2, n3,
+                                  it)
+
+    vadapt = jax.vmap(vadapt, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def pack(xf, yf):
+        B = xf.shape[0]
+        return (xf[:, :nL].reshape(B, L, nx, ny),
+                xf[:, nL:].reshape(B, 2 * k, nx, ny),
+                yf[:, : 2 * nL].reshape(B, 2 * L, nx, ny),
+                yf[:, 2 * nL: 2 * nL + nk2].reshape(B, 2 * k, nx, ny),
+                yf[:, 2 * nL + nk2:].reshape(B, nx, ny))
+
+    def fused_chunk(carry):
+        s, cur, _prev = carry
+        B = cur[0].shape[0]
+        scal = jnp.stack(
+            [s.tau, s.sigma, s.theta,
+             jnp.broadcast_to(radius, (B,)),
+             jnp.broadcast_to(d_s, (B,))], axis=0)
+        new, prev, norms2 = chunk_call(*cur, f, scal)
+        norms = jnp.sqrt(norms2)
+        s = vadapt(batched_problem, s, norms[0], norms[1],
+                   norms[2], norms[3], s.iteration + ri - 1)
+        s = dataclasses.replace(s, iteration=s.iteration + ri)
+        return (s, tuple(new), tuple(prev))
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return jnp.any(
+            (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+        )
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(carry):
+        s = carry[0]
+        return jnp.any((s.iteration + ri <= until) & ~s.converged)
+
+    state, cur, prev = lax.while_loop(
+        cond_b, fused_chunk,
+        (state, pack(state.x, state.y),
+         pack(state.x_prev, state.y_prev)))
+
+    def unpack(t):
+        uu, vv, qq, pp, ss = t
+        B = uu.shape[0]
+        return (
+            jnp.concatenate([uu.reshape(B, -1), vv.reshape(B, -1)],
+                            axis=1),
+            jnp.concatenate([qq.reshape(B, -1), pp.reshape(B, -1),
+                             ss.reshape(B, -1)], axis=1),
+        )
+
+    x_new, y_new = unpack(cur)
+    xp_new, yp_new = unpack(prev)
+    state = dataclasses.replace(
+        state, x=x_new, y=y_new, x_prev=xp_new, y_prev=yp_new)
+
+    vap = jax.vmap(lambda p, v: p.linop.apply(v))
+    vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
+    state = dataclasses.replace(
+        state,
+        kx=vap(batched_problem, state.x),
+        kty=vad(batched_problem, state.y),
+        kx_prev=vap(batched_problem, state.x_prev),
+        kty_prev=vad(batched_problem, state.y_prev),
+    )
+
+    def cond_c(s):
+        return jnp.any((s.iteration < until) & ~s.converged)
+
+    return lax.while_loop(cond_c, generic, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4, 5, 6, 7),
+         donate_argnums=(14,))
+def _batched_fused_vol_run(opts, L, nx, ny, dataterm, mesh, axis_name,
+                           interpret, batched_problem, prox_g, prox_fstar,
+                           f, w, lmb, radius, state, until, tols):
+    """Batched analog of fused_vol._fused_vol_run: the gridded batch
+    kernel (vol_fused_chunk_batched) advances every instance one chunk
+    per call; per-instance adaptive step sizes (and lmb/radius) ride the
+    (5, B) SMEM scalar array.  Under a mesh the kernel runs under
+    shard_map over the batch axis with ZERO in-chunk collectives."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from ..backend.pdhg import residual_and_adapt
+    from ..ops.fused_vol import vol_fused_chunk_batched
+
+    ri = max(int(opts.residual_iter), 1)
+    nvox = L * nx * ny
+
+    def raw_chunk(u, q, ff, ww, scal):
+        return vol_fused_chunk_batched(u, q, ff, ww, scal, ri,
+                                       dataterm=dataterm,
+                                       interpret=interpret)
+
+    if mesh is not None and mesh.devices.size > 1:
+        bspec = P(axis_name)
+        sspec = P(None, axis_name)  # (5, B) / (4, B) instances-minor
+        chunk_call = jax.shard_map(
+            raw_chunk, mesh=mesh,
+            in_specs=(bspec, bspec, bspec, bspec, sspec),
+            out_specs=(bspec, bspec, bspec, bspec, sspec),
+            check_vma=False,
+        )
+    else:
+        chunk_call = raw_chunk
+
+    def step_one(problem, pg, pf, s):
+        return pdhg_step(problem, pg, pf, opts, tols, s)
+
+    vstep = jax.vmap(step_one, in_axes=(0, 0, 0, 0))
+
+    def generic(s):
+        return vstep(batched_problem, prox_g, prox_fstar, s)
+
+    def vadapt(problem, s, n0, n1, n2, n3, it):
+        return residual_and_adapt(problem, opts, tols, s, n0, n1, n2, n3,
+                                  it)
+
+    vadapt = jax.vmap(vadapt, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    def fused_chunk(s):
+        B = s.x.shape[0]
+        u = s.x.reshape(B, L, nx, ny)
+        q = s.y.reshape(B, 3, L, nx, ny)
+        scal = jnp.stack(
+            [s.tau, s.sigma, s.theta,
+             jnp.broadcast_to(lmb, (B,)),
+             jnp.broadcast_to(radius, (B,))], axis=0)
+        u2, q2, up, qp, norms2 = chunk_call(u, q, f, w, scal)
+        norms = jnp.sqrt(norms2)
+        s = dataclasses.replace(
+            s,
+            x=u2.reshape(B, -1), y=q2.reshape(B, -1),
+            x_prev=up.reshape(B, -1), y_prev=qp.reshape(B, -1),
+        )
+        s = vadapt(batched_problem, s, norms[0], norms[1],
+                   norms[2], norms[3], s.iteration + ri - 1)
+        return dataclasses.replace(s, iteration=s.iteration + ri)
+
+    align = 1 % ri
+
+    def cond_a(s):
+        return jnp.any(
+            (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
+        )
+
+    state = lax.while_loop(cond_a, generic, state)
+
+    def cond_b(s):
+        return jnp.any((s.iteration + ri <= until) & ~s.converged)
+
+    state = lax.while_loop(cond_b, fused_chunk, state)
 
     vap = jax.vmap(lambda p, v: p.linop.apply(v))
     vad = jax.vmap(lambda p, v: p.linop.apply_adjoint(v))
