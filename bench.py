@@ -423,6 +423,55 @@ def measure_iters_to_tol(make_backend, tol, check=2000, max_iters=200_000):
     return None
 
 
+def measure_seconds_to_tol_direct(make_backend, tol, cap, repeats=4):
+    """DIRECT run-to-convergence device-seconds (round-4 verdict task 4:
+    the headline seconds-to-tolerance as a first-class measurement, not
+    an iterations x rate product).
+
+    The multi-chunk kernels evaluate the convergence test IN-KERNEL
+    between chunks, so one ``run(state, cap)`` call with real tolerances
+    executes exactly until convergence.  Per repeat, time that call AND a
+    short aligned run of the SAME compiled program (``until`` is a traced
+    argument) from a fresh initial state; the difference cancels the
+    ~90 ms tunnel sync and dispatch, leaving the device time from
+    iteration 21 to convergence.  The 21 warm-up iterations' device time
+    (~21/rate, sub-ms at the measured rates) is the method's bias — far
+    below the tunnel noise this subtracts.  Returns (median_seconds,
+    iterations, converged) with min/max over repeats."""
+    import prost_tpu as pt
+
+    sopts = pt.SolverOptions(
+        verbose=False,
+        tol_rel_primal=tol, tol_rel_dual=tol,
+        tol_abs_primal=tol, tol_abs_dual=tol,
+    )
+    backend = make_backend(sopts)
+
+    def sync_iter(s):
+        return int(np.asarray(s.iteration))
+
+    # compile + warm both call shapes
+    sync_iter(backend.run(backend.initial_state(), 21))
+    s = backend.run(backend.initial_state(), cap)
+    iters = sync_iter(s)
+    converged = bool(np.asarray(s.converged))
+
+    ests = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        sync_iter(backend.run(backend.initial_state(), 21))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync_iter(backend.run(backend.initial_state(), cap))
+        t_conv = time.perf_counter() - t0
+        if t_conv - t_short > 0:
+            ests.append(t_conv - t_short)
+    if not ests:
+        return None, iters, converged
+    return ({"value": float(np.median(ests)), "min": min(ests),
+             "max": max(ests), "n_sweeps": len(ests)}, iters, converged)
+
+
 def _latest_verify():
     """The newest committed VERIFY_r*.json (tools/tpu_verify.py --json)
     with all checks ok, or None.  Banded-kernel metrics carry
@@ -498,7 +547,7 @@ def _all_configs():
         ("rof512_admm_iters_per_sec", admm512, 500, 5500, 3, 600.0,
          False),
         ("multilabel256x8_pdhg_iters_per_sec",
-         lambda: build_multilabel(256, 256, L=8), 500, 5500, 3, 1500.0,
+         lambda: build_multilabel(256, 256, L=8), 500, 5500, 5, 1500.0,
          False),
         ("tight128x4_pdhg_iters_per_sec",
          lambda: build_tight(128, 128, L=4), 2000, 22000, 3, 2000.0,
@@ -509,11 +558,11 @@ def _all_configs():
         ("vol256x8_pdhg_iters_per_sec",
          lambda: build_vol(8, 256, 256), 500, 5500, 3, 1500.0, False),
         ("rof2048_banded_iters_per_sec",
-         lambda: build_rof(2048, 2048)[0], 200, 2200, 2, 187.0, True),
+         lambda: build_rof(2048, 2048)[0], 200, 2200, 4, 187.0, True),
         ("multilabel512x8_banded_iters_per_sec",
          lambda: build_multilabel(512, 512, L=8, image="junction_gray"),
-         200, 2200, 2, 375.0, True),
-        ("rof2048_admm_banded_iters_per_sec", admm2048, 100, 1100, 2,
+         200, 2200, 4, 375.0, True),
+        ("rof2048_admm_banded_iters_per_sec", admm2048, 100, 1100, 4,
          37.5, True),
     ]
 
@@ -578,29 +627,63 @@ def main(argv):
     from prost_tpu.backend.admm import ADMMOptions
     from prost_tpu.ops import FusedROFADMM
 
-    def rec_tol(metric, iters, its_per_sec):
+    def rec_tol(metric, iters, its_per_sec, measured=None,
+                converged=None):
         if iters is None:
             r = {"metric": metric, "value": None, "unit": "s",
                  "note": "tolerance not reached (f32 residual floor)"}
         else:
             r = {"metric": metric, "value": round(iters / its_per_sec, 4),
                  "unit": "s", "iterations": iters}
+            if measured is not None:
+                # DIRECT run-to-convergence timing (in-kernel convergence
+                # branch; measure_seconds_to_tol_direct) next to the
+                # derived iterations x rate value
+                r["measured_s"] = round(measured["value"], 4)
+                r["measured_min"] = round(measured["min"], 4)
+                r["measured_max"] = round(measured["max"], 4)
+                r["measured_n"] = measured["n_sweeps"]
         records.append(r)
         print(json.dumps(r), file=sys.stderr, flush=True)
 
+    def direct(make_backend, tol, cap, require_converged=True):
+        try:
+            m, its, conv = measure_seconds_to_tol_direct(
+                make_backend, tol, cap)
+            return (m, its) if (conv or not require_converged) else \
+                (None, its)
+        except Exception as e:  # never let the direct probe kill the sweep
+            print(f"# direct tol probe failed: {e}", file=sys.stderr,
+                  flush=True)
+            return None, None
+
     iters_gap = measure_iters_to_gap()
+    # the pd-gap rule is host-evaluated, so the DIRECT number times
+    # exactly the measured iterations-to-gap on device (tol=0 never
+    # fires the backend test; the run executes the full cap)
+    m, _ = (direct(lambda so: build_rof(512, 512, sopts=so)[0], 0.0,
+                   iters_gap + 21, require_converged=False)
+            if iters_gap else (None, None))
     rec_tol("rof512_seconds_to_gap_1e-6_per_px", iters_gap,
-            results["rof512_pdhg_iters_per_sec"]["value"])
+            results["rof512_pdhg_iters_per_sec"]["value"], measured=m)
     it = measure_iters_to_tol(
         lambda so: build_rof(512, 512, lmb=1.0, dataterm="abs",
                              sopts=so, image="fisch")[0], 1e-7)
+    m, _ = (direct(lambda so: build_rof(512, 512, lmb=1.0,
+                                        dataterm="abs", sopts=so,
+                                        image="fisch")[0],
+                   1e-7, (it or 200_000) + 1000)
+            if it else (None, None))
     rec_tol("tvl1_512_seconds_to_tol_1e-7", it,
-            results["tvl1_512_pdhg_iters_per_sec"]["value"])
+            results["tvl1_512_pdhg_iters_per_sec"]["value"], measured=m)
     it = measure_iters_to_tol(
         lambda so: build_deblur(512, 512, sopts=so), 1e-4, check=1000,
         max_iters=100_000)
+    m, _ = (direct(lambda so: build_deblur(512, 512, sopts=so), 1e-4,
+                   (it or 100_000) + 1000)
+            if it else (None, None))
     rec_tol("deblur512_seconds_to_tol_1e-4", it,
-            results["deblur512_pdhg_iters_per_sec"]["value"])
+            results["deblur512_pdhg_iters_per_sec"]["value"], measured=m)
 
     def make_admm(so):
         _, p = build_rof(512, 512, image="house")
@@ -608,18 +691,29 @@ def main(argv):
 
     it = measure_iters_to_tol(make_admm, 1e-4, check=500,
                               max_iters=50_000)
+    m, _ = (direct(make_admm, 1e-4, (it or 50_000) + 1000)
+            if it else (None, None))
     rec_tol("rof512_admm_seconds_to_tol_1e-4", it,
-            results["rof512_admm_iters_per_sec"]["value"])
+            results["rof512_admm_iters_per_sec"]["value"], measured=m)
     it = measure_iters_to_tol(
         lambda so: build_multilabel(256, 256, L=8, sopts=so), 1e-5,
         check=1000, max_iters=100_000)
+    m, _ = (direct(lambda so: build_multilabel(256, 256, L=8,
+                                               sopts=so),
+                   1e-5, (it or 100_000) + 1000)
+            if it else (None, None))
     rec_tol("multilabel256x8_seconds_to_tol_1e-5", it,
-            results["multilabel256x8_pdhg_iters_per_sec"]["value"])
+            results["multilabel256x8_pdhg_iters_per_sec"]["value"],
+            measured=m)
     it = measure_iters_to_tol(
         lambda so: build_tight(128, 128, L=4, sopts=so), 2e-6,
         check=2000, max_iters=200_000)
+    m, _ = (direct(lambda so: build_tight(128, 128, L=4, sopts=so),
+                   2e-6, (it or 200_000) + 1000)
+            if it else (None, None))
     rec_tol("tight128x4_seconds_to_tol_2e-6", it,
-            results["tight128x4_pdhg_iters_per_sec"]["value"])
+            results["tight128x4_pdhg_iters_per_sec"]["value"],
+            measured=m)
 
     if out_path:
         with open(out_path, "w") as fh:

@@ -67,7 +67,8 @@ from jax import lax
 from ..backend.admm import (ADMMState, BackendADMM, admm_residual_adapt,
                             admm_step)
 from .fused_rof import (_K_CHUNKS, _VMEM_LIMIT, _SQRT_S, _SQRT_T,
-                        _shift_ops, fits_vmem, match_rof_structure)
+                        _project_dead_dual, _shift_ops, fits_vmem,
+                        match_rof_structure)
 
 _C_K = _SQRT_S * _SQRT_T  # K~ = c_K * grad
 
@@ -273,11 +274,19 @@ def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
     radius = scal_ref[2]
     f = f_ref[...]
     w = w_ref[...] if dataterm == "wsquare" else None
-    ops = _shift_ops(f.shape, pltpu.roll)
+    # maskless adjoints: every z-like plane pair keeps zero boundaries
+    # (zp = grad(x_proj) is structurally zero there; zh/zd are built
+    # from zp and t2, which inherit it), enforced once at entry below —
+    # with the Chebyshev projection running ~degree stencil pairs per
+    # iteration this drops ~2*degree selects per ADMM iteration
+    # (cf. fused_rof._shift_ops)
+    ops = _shift_ops(f.shape, pltpu.roll, maskless_adjoint=True)
 
     zh0 = zh_ref[...]
     zp0 = zp_ref[...]
     zd0 = zd_ref[...]
+    (zh0x, zh0y), (zp0x, zp0y), (zd0x, zd0y) = (
+        _project_dead_dual(z[0], z[1]) for z in (zh0, zp0, zd0))
 
     def body(k, carry):
         xh, xp, xd, zh, zp, zd, warm = carry
@@ -293,7 +302,7 @@ def _admm_chunk_kernel(scal_ref, tols_ref, xh_ref, xp_ref, xd_ref,
     xh, xp, xd, zh, zp, zd, warm = lax.fori_loop(
         0, count, body,
         (xh_ref[...], xp_ref[...], xd_ref[...],
-         (zh0[0], zh0[1]), (zp0[0], zp0[1]), (zd0[0], zd0[1]),
+         (zh0x, zh0y), (zp0x, zp0y), (zd0x, zd0y),
          warm_ref[...]))
 
     norms = _admm_norms(xh, xp, xd, zh, zp, zd, rho, ops)
@@ -404,7 +413,9 @@ def _admm_multichunk_kernel(scal_ref, xh_ref, xp_ref, xd_ref,
     tols4 = (scal_ref[7], scal_ref[8], scal_ref[9], scal_ref[10])
     f = f_ref[...]
     w = w_ref[...] if dataterm == "wsquare" else None
-    ops = _shift_ops(f.shape, pltpu.roll)
+    # maskless adjoints under the z-plane zero-boundary invariant,
+    # enforced once at entry below (see _admm_chunk_kernel)
+    ops = _shift_ops(f.shape, pltpu.roll, maskless_adjoint=True)
     zero = jnp.zeros((), f.dtype)
 
     def chunk(c, carry):
@@ -442,9 +453,11 @@ def _admm_multichunk_kernel(scal_ref, xh_ref, xp_ref, xd_ref,
         return lax.cond(conv, lambda t: t, run, carry)
 
     zh0, zp0, zd0 = zh_ref[...], zp_ref[...], zd_ref[...]
+    (zh0x, zh0y), (zp0x, zp0y), (zd0x, zd0y) = (
+        _project_dead_dual(z[0], z[1]) for z in (zh0, zp0, zd0))
     init = (
         (xh_ref[...], xp_ref[...], xd_ref[...],
-         (zh0[0], zh0[1]), (zp0[0], zp0[1]), (zd0[0], zd0[1]),
+         (zh0x, zh0y), (zp0x, zp0y), (zd0x, zd0y),
          warm_ref[...]),
         (scal_ref[0], scal_ref[3], scal_ref[4], scal_ref[5],
          jnp.asarray(False), zero),
@@ -1328,6 +1341,19 @@ def _fused_admm_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
 
     state = lax.while_loop(cond_a, generic, state)
 
+    # canonicalize the z warm start once per run (cf. fused_rof
+    # _fused_rof_run): the z-plane pairs' dead coordinates are zeroed so
+    # the maskless in-kernel adjoints are exact and every route
+    # (whole-plane, multichunk, banded) follows one trajectory
+    def proj_z(zf):
+        z = zf.reshape(2, nx, ny)
+        zx, zy = _project_dead_dual(z[0], z[1])
+        return jnp.stack([zx, zy]).reshape(-1)
+
+    state = dataclasses.replace(
+        state, z_half=proj_z(state.z_half), z_proj=proj_z(state.z_proj),
+        z_dual=proj_z(state.z_dual))
+
     # phase B0 (Chebyshev projection only — no per-iteration CG tolerance
     # schedule in-kernel): multi-chunk launches with in-kernel
     # rho-adaptation, k_chunks * ri iterations per kernel call
@@ -1381,6 +1407,18 @@ def _fused_admm_banded_run(problem, prox_g, prox_f, opts, plan, nx, ny, lmb,
         return (s.iteration % ri != 0) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # canonicalize the z warm start once per run (cf. _fused_admm_run):
+    # keeps this route on the same trajectory as the whole-plane
+    # maskless-adjoint kernels for any warm start
+    def proj_z(zf):
+        z = zf.reshape(2, nx, ny)
+        zx, zy = _project_dead_dual(z[0], z[1])
+        return jnp.stack([zx, zy]).reshape(-1)
+
+    state = dataclasses.replace(
+        state, z_half=proj_z(state.z_half), z_proj=proj_z(state.z_proj),
+        z_dual=proj_z(state.z_dual))
 
     # pack the state into the ping-pong plane arrays (slot 0)
     def dbl(a, shape):

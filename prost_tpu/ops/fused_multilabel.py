@@ -45,13 +45,22 @@ _SQRT_T = 0.4472135954999579  # sqrt(Tau) = sqrt(1/5)
 _SQRT_S_Q = 0.7071067811865476  # sqrt(Sigma_q) = sqrt(1/2)
 
 
-def _shift_ops_3d(shape, roll, row_offset=None, nx_global=None):
+def _shift_ops_3d(shape, roll, row_offset=None, nx_global=None,
+                  maskless_adjoint=False):
     """Forward-difference / adjoint stencils on the trailing two axes of a
     (L, nx, ny) value (cf. fused_rof._shift_ops for the 2D case).
 
     With (row_offset, nx_global) the row masks use GLOBAL row indices, so
     the stencils are correct on a halo-extended band/shard of a
-    row-partitioned plane (see fused_rof._shift_ops)."""
+    row-partitioned plane (see fused_rof._shift_ops).
+
+    ``maskless_adjoint`` (whole-plane only): dxt/dyt as bare roll-subtract,
+    exact when the operand's last row/column is zero — the dual-plane
+    invariant the fast-multilabel structure shares with ROF (the masked
+    forward gradient's boundary is structurally zero and the joint ball
+    projection preserves zeros; see fused_rof._shift_ops).  NOT valid for
+    the tight-relaxation kernel, whose q planes stay live at the boundary
+    through the kron coupling (fused_tight passes the default)."""
     ri = lax.broadcasted_iota(jnp.int32, shape, 1)
     ci = lax.broadcasted_iota(jnp.int32, shape, 2)
     if row_offset is not None:
@@ -70,15 +79,33 @@ def _shift_ops_3d(shape, roll, row_offset=None, nx_global=None):
     def dy(u):
         return jnp.where(not_last_c, roll(u, shape[2] - 1, 2) - u, 0.0)
 
-    def dxt(p):
-        lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
-        return lead - jnp.where(not_last_r, p, 0.0)
+    if maskless_adjoint and row_offset is None:
+        def dxt(p):  # exact given p[:, -1, :] == 0
+            return roll(p, 1, 1) - p
 
-    def dyt(p):
-        lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
-        return lead - jnp.where(not_last_c, p, 0.0)
+        def dyt(p):  # exact given p[:, :, -1] == 0
+            return roll(p, 1, 2) - p
+    else:
+        def dxt(p):
+            lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
+            return lead - jnp.where(not_last_r, p, 0.0)
+
+        def dyt(p):
+            lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
+            return lead - jnp.where(not_last_c, p, 0.0)
 
     return dx, dy, dxt, dyt
+
+
+def _project_dead_dual_3d(qx, qy):
+    """Zero the dead dual coordinates (qx's last row / qy's last column
+    across all L planes) once per chunk — see
+    fused_rof._project_dead_dual for the full rationale."""
+    ri = lax.broadcasted_iota(jnp.int32, qx.shape, 1)
+    ci = lax.broadcasted_iota(jnp.int32, qy.shape, 2)
+    qx = jnp.where(ri < (qx.shape[1] - 1), qx, 0.0)
+    qy = jnp.where(ci < (qy.shape[2] - 1), qy, 0.0)
+    return qx, qy
 
 
 def _ml_update(u, qx, qy, s, gx, gy, su, tf, tau, sig_q, sig_s, theta,
@@ -153,7 +180,7 @@ def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
         def nsum(v):
             return jnp.sum(jnp.where(owned2, v, 0.0))
     else:
-        ops = _shift_ops_3d(f.shape, pltpu.roll)
+        ops = _shift_ops_3d(f.shape, pltpu.roll, maskless_adjoint=True)
         nsum = jnp.sum
     _dx, _dy = ops[0], ops[1]
 
@@ -165,6 +192,10 @@ def _ml_chunk_core(tau_raw, sigma_raw, theta, radius, d_s, u0, q0, s0, f,
         return u, qx, qy, s, gx, gy, su
 
     qx0, qy0 = q0 if isinstance(q0, tuple) else (q0[:L], q0[L:])
+    if halo_ctx is None:
+        # dead-coordinate projection, once per chunk (cf. fused_rof
+        # _chunk_core): makes the maskless adjoints above exact
+        qx0, qy0 = _project_dead_dual_3d(qx0, qy0)
     if g0 is None:
         g0 = (_dx(u0), _dy(u0), jnp.sum(u0, axis=0))
     u, qx, qy, s, gxp, gyp, sup = lax.fori_loop(
@@ -1186,6 +1217,17 @@ def _fused_ml_run(problem, prox_g, prox_fstar, opts, nx, ny, L, n_bands,
         return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # canonicalize the dual warm start once per run (cf. fused_rof
+    # _fused_rof_run): all fused routes then agree bit-exactly
+    def proj_y(yf):
+        q = yf[: 2 * nL].reshape(2 * L, nx, ny)
+        qx, qy = _project_dead_dual_3d(q[:L], q[L:])
+        return jnp.concatenate(
+            [qx.reshape(-1), qy.reshape(-1), yf[2 * nL:]])
+
+    state = dataclasses.replace(
+        state, y=proj_y(state.y), y_prev=proj_y(state.y_prev))
 
     def multi_chunk_banded(carry):
         from .fused_rof import pdhg_adapt_consts

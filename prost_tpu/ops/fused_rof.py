@@ -77,7 +77,8 @@ _SQRT_T = 0.5                 # sqrt(Tau)   = sqrt(1/4)
 _K_CHUNKS = 8
 
 
-def _shift_ops(shape, roll, row_offset=None, nx_global=None):
+def _shift_ops(shape, roll, row_offset=None, nx_global=None,
+               maskless_adjoint=False):
     """Forward-difference / adjoint stencils via native roll + iota masks
     (cheaper for Mosaic than concatenate-built shifts).  ``roll(a, shift,
     axis)`` is pltpu.roll inside the kernel, jnp.roll in plain-XLA use.
@@ -88,6 +89,19 @@ def _shift_ops(shape, roll, row_offset=None, nx_global=None):
     applies at global rows 0 / nx_global-1, not at the shard edges
     (parallel/spatial_fused.py).  Rolls stay local; the wrap rows they
     bring in only touch halo rows, never owned rows.
+
+    ``maskless_adjoint`` (whole-plane kernels only) drops BOTH selects
+    from dxt/dyt: the adjoint is EXACT whenever its operand has a zero
+    last row (dxt) / last column (dyt), because the circular roll then
+    wraps a ZERO into the lead term at row 0 and the trailing ``-p``
+    vanishes at the last row.  That zero-boundary property is an
+    invariant of the dual planes (the masked forward gradient's last
+    row/col is structurally zero, and the ball projection preserves
+    zeros), enforced once per chunk by ``_project_dead_dual`` — turning
+    6 boundary selects per iteration into 2 per CHUNK (round-4 verdict
+    task #2; measured +17% kernel-only in tools/stencil_probe.py, bit
+    equal on hardware).  Not valid under sharding (the boundary rows of
+    a shard's window are live halo data, not structural zeros).
     """
     ri = lax.broadcasted_iota(jnp.int32, shape, 0)
     ci = lax.broadcasted_iota(jnp.int32, shape, 1)
@@ -108,15 +122,41 @@ def _shift_ops(shape, roll, row_offset=None, nx_global=None):
     def dy(u):
         return jnp.where(not_last_c, roll(u, shape[1] - 1, 1) - u, 0.0)
 
-    def dxt(p):
-        lead = jnp.where(not_first_r, roll(p, 1, 0), 0.0)
-        return lead - jnp.where(not_last_r, p, 0.0)
+    if maskless_adjoint and row_offset is None:
+        def dxt(p):  # exact given p[-1, :] == 0
+            return roll(p, 1, 0) - p
 
-    def dyt(p):
-        lead = jnp.where(not_first_c, roll(p, 1, 1), 0.0)
-        return lead - jnp.where(not_last_c, p, 0.0)
+        def dyt(p):  # exact given p[:, -1] == 0
+            return roll(p, 1, 1) - p
+    else:
+        def dxt(p):
+            lead = jnp.where(not_first_r, roll(p, 1, 0), 0.0)
+            return lead - jnp.where(not_last_r, p, 0.0)
+
+        def dyt(p):
+            lead = jnp.where(not_first_c, roll(p, 1, 1), 0.0)
+            return lead - jnp.where(not_last_c, p, 0.0)
 
     return dx, dy, dxt, dyt
+
+
+def _project_dead_dual(qx, qy):
+    """Zero the DEAD dual coordinates: q_x's last row / q_y's last column
+    multiply structurally-zero rows of K (the masked forward difference
+    never writes them), so they never enter K^T y; the algorithm maps
+    zeros to zeros there (the ball projection scales them).  Zeroing once
+    at chunk entry (a) makes the maskless adjoint stencils exact and
+    (b) is a no-op on every state the solver itself produces from the
+    default y0 = 0.  A user warm start carrying mass on the dead
+    coordinates is projected off it — the generic path would instead let
+    it decay multiplicatively (it only affects those coordinates and
+    their contribution to the boundary ball projection / residual
+    norms); tests/test_fused_rof.py pins this documented deviation."""
+    ri = lax.broadcasted_iota(jnp.int32, qx.shape, 0)
+    ci = lax.broadcasted_iota(jnp.int32, qy.shape, 1)
+    qx = jnp.where(ri < (qx.shape[0] - 1), qx, 0.0)
+    qy = jnp.where(ci < (qy.shape[1] - 1), qy, 0.0)
+    return qx, qy
 
 
 def _hoist_dataterm(f, w, tau, lmb, dataterm: str):
@@ -208,8 +248,9 @@ def _chunk_core(tau_raw, sigma_raw, theta, lmb, radius, x0, qx0, qy0, f, w,
         def nsum(v):
             return jnp.sum(jnp.where(owned, v, 0.0))
     else:
-        ops = _shift_ops(f.shape, pltpu.roll)
+        ops = _shift_ops(f.shape, pltpu.roll, maskless_adjoint=True)
         nsum = jnp.sum
+        qx0, qy0 = _project_dead_dual(qx0, qy0)
     _dx, _dy = ops[0], ops[1]
 
     def body(_, carry):
@@ -1777,6 +1818,20 @@ def _fused_rof_run(problem, prox_g, prox_fstar, opts, nx, ny, lmb, dataterm,
         return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # canonicalize the dual warm start ONCE per run: zero the dead
+    # coordinates (q_x last row / q_y last col — they multiply
+    # structurally-zero rows of K, so kx/kty and the solution are
+    # unaffected; see _project_dead_dual).  Every fused route
+    # (whole-plane maskless-adjoint, banded, multichunk) then follows
+    # the same trajectory bit-exactly regardless of the warm start.
+    def proj_y(yf):
+        q = yf.reshape(2, nx, ny)
+        qx, qy = _project_dead_dual(q[0], q[1])
+        return jnp.stack([qx, qy]).reshape(-1)
+
+    state = dataclasses.replace(
+        state, y=proj_y(state.y), y_prev=proj_y(state.y_prev))
 
     def multi_chunk_banded(s: PDHGState) -> PDHGState:
         x = s.x.reshape(nx, ny)

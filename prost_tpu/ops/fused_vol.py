@@ -40,12 +40,19 @@ _SQRT_S = 0.7071067811865476      # sqrt(1/2)
 _SQRT_T = 0.4082482904638631      # sqrt(1/6)
 
 
-def _vol_ops(shape, roll, row_offset=None, nx_global=None):
+def _vol_ops(shape, roll, row_offset=None, nx_global=None,
+             maskless_adjoint=False):
     """The six gradient3d stencils on an (L, nxb, ny) block via roll +
     iota masks: x/y forward differences with Neumann boundary (zero at
     the far edge), z/label difference with Dirichlet far boundary
     (last = -u_last), plus the three adjoints.  With (row_offset,
-    nx_global) the x-row masks use GLOBAL rows (halo-extended bands)."""
+    nx_global) the x-row masks use GLOBAL rows (halo-extended bands).
+
+    ``maskless_adjoint`` (whole-volume only) drops the selects from
+    dxt/dyt, exact under the dead-dual invariant qx[:, -1, :] ==
+    qy[:, :, -1] == 0 (see fused_rof._shift_ops).  dlt KEEPS its mask:
+    the label axis is Dirichlet — ql's last plane is live (it couples to
+    -u_last), so there is no zero invariant to exploit there."""
     L = shape[0]
     ri = lax.broadcasted_iota(jnp.int32, shape, 1)
     ci = lax.broadcasted_iota(jnp.int32, shape, 2)
@@ -72,18 +79,36 @@ def _vol_ops(shape, roll, row_offset=None, nx_global=None):
         # Dirichlet at the far z boundary: gl_last = 0 - u_last
         return jnp.where(not_last_l, roll(u, L - 1, 0), 0.0) - u
 
-    def dxt(p):
-        lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
-        return lead - jnp.where(not_last_r, p, 0.0)
+    if maskless_adjoint and row_offset is None:
+        def dxt(p):  # exact given p[:, -1, :] == 0
+            return roll(p, 1, 1) - p
 
-    def dyt(p):
-        lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
-        return lead - jnp.where(not_last_c, p, 0.0)
+        def dyt(p):  # exact given p[:, :, -1] == 0
+            return roll(p, 1, 2) - p
+    else:
+        def dxt(p):
+            lead = jnp.where(not_first_r, roll(p, 1, 1), 0.0)
+            return lead - jnp.where(not_last_r, p, 0.0)
+
+        def dyt(p):
+            lead = jnp.where(not_first_c, roll(p, 1, 2), 0.0)
+            return lead - jnp.where(not_last_c, p, 0.0)
 
     def dlt(p):
         return jnp.where(not_first_l, roll(p, 1, 0), 0.0) - p
 
     return dx, dy, dl, dxt, dyt, dlt
+
+
+def _project_dead_dual_vol(qx, qy):
+    """Zero qx's last x-row / qy's last y-column (dead coordinates of the
+    Neumann axes; the Dirichlet label axis has none) — see
+    fused_rof._project_dead_dual."""
+    ri = lax.broadcasted_iota(jnp.int32, qx.shape, 1)
+    ci = lax.broadcasted_iota(jnp.int32, qy.shape, 2)
+    qx = jnp.where(ri < (qx.shape[1] - 1), qx, 0.0)
+    qy = jnp.where(ci < (qy.shape[2] - 1), qy, 0.0)
+    return qx, qy
 
 
 def _vol_update(u, qx, qy, ql, gx, gy, gl, dt0, dt1, tau, sig_p, sig_t,
@@ -140,8 +165,13 @@ def _vol_chunk_core(tau_raw, sigma_raw, theta, lmb, radius, u0, q0, f, w,
         def nsum(v):
             return jnp.sum(jnp.where(owned, v, 0.0))
     else:
-        ops = _vol_ops(f.shape, pltpu.roll)
+        ops = _vol_ops(f.shape, pltpu.roll, maskless_adjoint=True)
         nsum = jnp.sum
+    qx0, qy0, ql0 = q0[0], q0[1], q0[2]
+    if halo_ctx is None:
+        # dead-coordinate projection, once per chunk (cf. fused_rof
+        # _chunk_core): makes the maskless x/y adjoints exact
+        qx0, qy0 = _project_dead_dual_vol(qx0, qy0)
     _dx, _dy, _dl = ops[0], ops[1], ops[2]
 
     def body(_, carry):
@@ -153,7 +183,7 @@ def _vol_chunk_core(tau_raw, sigma_raw, theta, lmb, radius, u0, q0, f, w,
 
     u, qx, qy, ql, gxp, gyp, glp = lax.fori_loop(
         0, count - 1, body,
-        (u0, q0[0], q0[1], q0[2], _dx(u0), _dy(u0), _dl(u0)))
+        (u0, qx0, qy0, ql0, _dx(u0), _dy(u0), _dl(u0)))
 
     u2, qx2, qy2, ql2, gx2, gy2, gl2, ktyp = _vol_update(
         u, qx, qy, ql, gxp, gyp, glp, dt0, dt1, tau, sig_p, sig_t,
@@ -1026,6 +1056,16 @@ def _fused_vol_run(problem, prox_g, prox_fstar, opts, L, nx, ny, lmb,
         return (s.iteration % ri != align) & (s.iteration < until) & ~s.converged
 
     state = lax.while_loop(cond_a, generic, state)
+
+    # canonicalize the dual warm start once per run (cf. fused_rof
+    # _fused_rof_run): all fused routes then agree bit-exactly
+    def proj_y(yf):
+        q = yf.reshape(3, L, nx, ny)
+        qx, qy = _project_dead_dual_vol(q[0], q[1])
+        return jnp.stack([qx, qy, q[2]]).reshape(-1)
+
+    state = dataclasses.replace(
+        state, y=proj_y(state.y), y_prev=proj_y(state.y_prev))
 
     def multi_chunk_banded(s: PDHGState) -> PDHGState:
         from .fused_rof import pdhg_adapt_consts

@@ -504,6 +504,19 @@ def _batched_fused_rof_run(opts, nx, ny, dataterm, n_bands, mesh, axis_name,
 
     state = lax.while_loop(cond_a, generic, state)
 
+    # canonicalize the dual warm start once per run (cf. fused_rof
+    # _fused_rof_run): gridded and banded+batched routes then agree
+    from ..ops.fused_rof import _project_dead_dual
+
+    def proj_y(yf):
+        B = yf.shape[0]
+        q = yf.reshape(B, 2, nx, ny)
+        qx, qy = jax.vmap(_project_dead_dual)(q[:, 0], q[:, 1])
+        return jnp.stack([qx, qy], axis=1).reshape(B, -1)
+
+    state = dataclasses.replace(
+        state, y=proj_y(state.y), y_prev=proj_y(state.y_prev))
+
     def cond_b(s):
         return jnp.any((s.iteration + ri <= until) & ~s.converged)
 

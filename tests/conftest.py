@@ -16,3 +16,25 @@ os.environ["XLA_FLAGS"] = (
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """Free compiled executables between test modules.
+
+    The full suite compiles thousands of XLA CPU programs in one
+    process; past ~60% of the suite the accumulated live executables
+    deterministically SEGFAULT the XLA CPU client inside
+    backend_compile_and_load (observed at
+    test_spatial_fused.py::test_sharded_banded_tight_matches_generic,
+    twice at the same site, with 124 GB of host RAM free — an XLA
+    bookkeeping limit, not OOM).  Clearing per module caps the live
+    count; cross-module cache reuse is negligible (different modules
+    compile different programs)."""
+    yield
+    import jax
+
+    jax.clear_caches()

@@ -207,6 +207,13 @@ def test_banded_kernel_unit_vs_whole_chunk():
 
     xh, xp, xd, warm = plane(), plane(), plane(), plane()
     zh, zp, zd = plane(2), plane(2), plane(2)
+
+    # clean dead dual coordinates (fused canonicalization; enforced by
+    # the run glue for warm starts)
+    def _cl(z):
+        return z.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
+
+    zh, zp, zd = _cl(zh), _cl(zp), _cl(zd)
     f = jnp_asarray(rng.rand(nx, ny))
     w = jnp_asarray(np.ones((nx, ny)))
     rho = jnp_asarray(np.float32(1.3))
@@ -323,6 +330,7 @@ def test_banded_chunk_kernel_vs_whole_chunk():
     xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)
     xp_, xd, warm = xh + 0.1, xh * 0.5, xh * 0.2
     zh = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    zh = zh.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     zd = zh * 0.1
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(f)

@@ -104,6 +104,8 @@ def test_ml_tiled_chunk_bit_equal_to_whole_plane(n_bands):
     rng = np.random.RandomState(9)
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 0.5, 1.0)  # tau, sigma, theta, radius, d_s
@@ -165,6 +167,8 @@ def test_ml_banded_chunk_matches_whole_plane(n_bands):
     rng = np.random.RandomState(19)
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 0.5, 1.0)
@@ -193,6 +197,8 @@ def test_ml_banded_double_buffer_matches_whole_plane(n_bands):
     rng = np.random.RandomState(20)
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.2 * rng.randn(2 * L, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 0.5, 1.0)

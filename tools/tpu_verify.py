@@ -50,6 +50,7 @@ def verify_rof():
     rng = np.random.RandomState(3)
     x = jnp.asarray(rng.rand(512, 512), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2, 512, 512), jnp.float32)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(512, 512), jnp.float32)
     w = jnp.ones_like(x)
     args = (0.9, 1.1, 1.0, 16.0, 0.5, 10)
@@ -77,6 +78,7 @@ def verify_ml():
     L, nx, ny = 8, 256, 256
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)  # dead duals
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 0.5, 1.0, 10)
@@ -248,6 +250,11 @@ def verify_admm_banded():
 
     xh, xp, xd, warm = plane(), plane(), plane(), plane()
     zh, zp, zd = plane(2), plane(2), plane(2)
+
+    def _cl(z):  # dead duals (fused canonicalization)
+        return z.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
+
+    zh, zp, zd = _cl(zh), _cl(zp), _cl(zd)
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(f)
     rho = jnp.asarray(1.3, jnp.float32)
@@ -292,6 +299,11 @@ def verify_admm_chunk_banded():
 
     xh, xp, xd, warm = plane(), plane(), plane(), plane()
     zh, zd = plane(2), plane(2)
+
+    def _cl(z):  # dead duals (fused canonicalization)
+        return z.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)
+
+    zh, zd = _cl(zh), _cl(zd)
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(f)
     rho = jnp.asarray(1.3, jnp.float32)
@@ -348,6 +360,7 @@ def verify_multichunk():
     ri, K = 10, 4
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(x)
     nrows, ncols = 2.0 * nx * ny, 1.0 * nx * ny
@@ -384,6 +397,7 @@ def verify_multichunk():
     xh = jnp.asarray(0.3 * rng.randn(nx, ny), jnp.float32)
     xp2, xd, warm = xh + 0.1, xh * 0.5, xh * 0.2
     zh = jnp.asarray(0.3 * rng.randn(2, nx, ny), jnp.float32)
+    zh = zh.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     zp_, zd = zh * 0.9, zh * 0.1
     rho = jnp.asarray(1.0, jnp.float32)
     delta = jnp.asarray(1.05, jnp.float32)
@@ -432,6 +446,7 @@ def verify_multichunk_ml():
     ri, K = 10, 4
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)  # dead duals
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     nrows = float(2 * L * nx * ny + nx * ny)
@@ -487,6 +502,7 @@ def verify_banded_multichunk():
     ri, K, nb = 10, 4, 4
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(x)
     nrows, ncols = 2.0 * nx * ny, 1.0 * nx * ny
@@ -537,6 +553,7 @@ def verify_banded_multichunk_ml():
     ri, K, nb = 10, 4, 4
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)  # dead duals
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     nrows = float(2 * L * nx * ny + nx * ny)
@@ -587,6 +604,7 @@ def verify_banded_multichunk_vol():
     ri, K, nb = 10, 4, 4
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    q = q.at[0, :, -1, :].set(0.0).at[1, :, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     w = jnp.ones_like(u)
     nrows, ncols = float(3 * L * nx * ny), float(L * nx * ny)
@@ -631,6 +649,7 @@ def verify_sharded_banded_ml():
     L, nx, ny, halo8 = 4, 512, 256, 24
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2 * L, nx, ny), jnp.float32)
+    q = q.at[:L, -1, :].set(0.0).at[L:, :, -1].set(0.0)  # dead duals
     s = jnp.asarray(0.1 * rng.randn(nx, ny), jnp.float32)
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     args = (0.9, 1.1, 1.0, 0.5, 1.0, 10)
@@ -757,6 +776,7 @@ def verify_sharded_banded_vol():
     L, nx, ny, halo8 = 4, 512, 256, 24
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    q = q.at[0, :, -1, :].set(0.0).at[1, :, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     w = jnp.ones_like(u)
     args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
@@ -789,6 +809,7 @@ def verify_sharded_banded():
     nx, ny, halo8 = 1024, 512, 24
     x = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(2, nx, ny), jnp.float32)
+    q = q.at[0, -1, :].set(0.0).at[1, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(nx, ny), jnp.float32)
     w = jnp.ones_like(x)
     args = (0.9, 1.1, 1.0, 16.0, 0.5, 10)
@@ -847,6 +868,7 @@ def verify_vol():
     L, nx, ny = 8, 256, 256
     u = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(3, L, nx, ny), jnp.float32)
+    q = q.at[0, :, -1, :].set(0.0).at[1, :, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
     w = jnp.ones_like(u)
     args = (0.9, 1.1, 1.0, 6.0, 0.5, 10)
