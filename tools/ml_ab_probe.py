@@ -61,10 +61,9 @@ def main():
     f = jnp.asarray(rng.rand(L, nx, ny), jnp.float32)
 
     def chunk(st):
-        new, prev, norms = ml_fused_chunk(st[0], st[1], st[2], f,
-                                          0.9, 1.1, 1.0, 0.5, 1.0, ri)
-        u2, qx2, qy2, s2 = new
-        return ((u2, jnp.concatenate([qx2, qy2]), s2), norms[0])
+        u2, q2, s2, _up, _qp, _sp, norms2 = ml_fused_chunk(
+            st[0], st[1], st[2], f, 0.9, 1.1, 1.0, 0.5, 1.0, ri)
+        return ((u2, q2, s2), norms2[0])
 
     t = serial_chunk_time(chain_loop(chunk, (u, q, sm)), short=10,
                           long_=110)

@@ -840,6 +840,7 @@ def verify_ensemble_banded():
     B, nx, ny = 4, 256, 256
     x = jnp.asarray(rng.rand(B, nx, ny), jnp.float32)
     q = jnp.asarray(0.1 * rng.randn(B, 2, nx, ny), jnp.float32)
+    q = q.at[:, 0, -1, :].set(0.0).at[:, 1, :, -1].set(0.0)  # dead duals
     f = jnp.asarray(rng.rand(B, nx, ny), jnp.float32)
     w = jnp.ones_like(x)
     scal = jnp.asarray(0.5 + rng.rand(5, B), jnp.float32)
