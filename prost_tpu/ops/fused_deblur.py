@@ -63,6 +63,14 @@ _MAX_TAPS = 96  # statically unrolled shifted-adds per conv apply
 # hardware — serial-chain measurement: tree 226 us vs fold 241 us per
 # 512^2 ri=10 chunk, i.e. the kernel is issue-bound, not latency-bound)
 _TAP_SUM_TREE = True
+# hoist the adjoint's large negative rolls into one base roll per axis
+# (small per-tap rolls from there; bit-identical).  MEASURED NO WIN
+# (round-5 interleaved A/B, tools/deblur_probe.py: base-roll 273 us vs
+# direct large rolls 264 us per 512^2 ri=10 chunk, bit-equal) — the
+# synthetic roll-cost asymmetry (stencil_probe2) does not transfer to
+# this kernel's schedule, so the direct form stays the default; the
+# switch and the probe keep the negative result reproducible
+_ADJ_BASE_ROLL = False
 
 
 def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
@@ -133,9 +141,28 @@ def _conv_ops(shape, nx, ny, taps, roll, row_offset=None):
                                           for dx, dy, w in taps]))
 
     def adj(v):
+        if not _ADJ_BASE_ROLL:
+            acc = tree_sum(grouped_terms(
+                v, [((nx2 - dx) % nx2, (ny2 - dy) % ny2, w)
+                    for dx, dy, w in taps]))
+            return jnp.where(region, acc, 0.0)
+        # negative shifts as ONE large base roll per axis + small
+        # per-tap rolls: roll(v, N - d) == roll(roll(v, N - dmax),
+        # dmax - d) exactly (circular roll composition involves no
+        # arithmetic, so this is bit-identical) — Mosaic lowers a
+        # lane/sublane rotate by a LARGE static amount in multiple
+        # stages (~2.2x a small shift, tools/stencil_probe.py), and the
+        # taps' d are small (kernel extent), so this turns ~2T large
+        # rotates into 2 large + 2T small ones.
+        dmx = max(dx for dx, _, _ in taps)
+        dmy = max(dy for _, dy, _ in taps)
+        base = v
+        if dmx:
+            base = roll(base, nx2 - dmx, 0)
+        if dmy:
+            base = roll(base, ny2 - dmy, 1)
         acc = tree_sum(grouped_terms(
-            v, [((nx2 - dx) % nx2, (ny2 - dy) % ny2, w)
-                for dx, dy, w in taps]))
+            base, [(dmx - dx, dmy - dy, w) for dx, dy, w in taps]))
         return jnp.where(region, acc, 0.0)
 
     return fwd, adj, region

@@ -55,22 +55,45 @@ def main():
     fb = jnp.asarray(rng.rand(nx2, ny2), jnp.float32)
     sv = jnp.ones((nx2, ny2), jnp.float32) * 0.2
 
-    for tree in (True, False):
-        fd._TAP_SUM_TREE = tree
+    sys.path.insert(0, os.path.dirname(__file__))
+    from probe_interleave import interleaved_times
 
-        def chunk(st, _t=tree):
+    runners = {}
+    outs = {}
+    for name, (tree, baseroll) in {
+        "tree+baseroll": (True, True),
+        "tree+largerolls": (True, False),
+        "fold+baseroll": (False, True),
+    }.items():
+        fd._TAP_SUM_TREE = tree
+        fd._ADJ_BASE_ROLL = baseroll
+
+        def chunk(st, _t=tree, _b=baseroll):
             x_, yv_, q_ = st
             x2, yv2, q2, xp, yvp, qp, norms = fd.deblur_fused_chunk(
                 x_, yv_, q_, fb, sv, 0.9, 1.1, 1.0, 100.0, 1.0, ri, nx,
                 ny, taps, 0.5, 1.0 / 7.0)
             return (x2, yv2, q2), norms[0]
 
-        t = serial_chunk_time(chain_loop(chunk, (x, yv, q)))
-        name = "tree" if tree else "fold"
-        print(f"deblur 512^2 T={len(taps)} whole-plane chunk [{name}]: "
-              f"{1e6*t:.0f} us (ri={ri} -> {ri/t/1e3:.1f}k it/s "
-              f"kernel-only)", flush=True)
+        outs[name] = fd.deblur_fused_chunk(
+            x, yv, q, fb, sv, 0.9, 1.1, 1.0, 100.0, 1.0, ri, nx, ny,
+            taps, 0.5, 1.0 / 7.0)[0]
+        runners[name] = chain_loop(chunk, (x, yv, q))
     fd._TAP_SUM_TREE = True
+    fd._ADJ_BASE_ROLL = True
+
+    ref = np.asarray(outs["tree+baseroll"])
+    for name, o in outs.items():
+        print(f"bit-equal[{name}]: "
+              f"{np.array_equal(np.asarray(o), ref)}", flush=True)
+    res = interleaved_times(runners, short=20, long_=220, sweeps=4)
+    for name, r in res.items():
+        if r is None:
+            print(f"{name}: all sweeps corrupted", flush=True)
+            continue
+        print(f"deblur 512^2 T={len(taps)} [{name}]: {r['us']:.0f} us "
+              f"[{r['min']:.0f}-{r['max']:.0f}, n={r['n']}] "
+              f"(ri={ri} -> {ri/r['us']*1e3:.1f}k it/s)", flush=True)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,117 @@
+"""Merge multiple bench.py --all session artifacts into the committed
+BENCH_ALL_r*.json using the round-4 discipline: per config keep the
+session with the MOST guard-passing sweeps (ties: narrower relative
+spread); displaced records are preserved under 'superseded' with a
+session note.  Derived seconds-to-tol are recomputed from the KEPT
+throughput record; the direct measured_s keeps the session with the
+most repeats (ties: narrower spread).
+
+Usage: python tools/merge_bench.py OUT.json SESSION1.json SESSION2.json ...
+(sessions in chronological order; the note records which session won)
+"""
+
+import json
+import sys
+
+
+def _spread(r):
+    v = r.get("value") or 1.0
+    return (r.get("max", v) - r.get("min", v)) / max(abs(v), 1e-12)
+
+
+def _better(a, b):
+    """True if record a beats record b."""
+    if a.get("n_sweeps", 0) != b.get("n_sweeps", 0):
+        return a.get("n_sweeps", 0) > b.get("n_sweeps", 0)
+    return _spread(a) < _spread(b)
+
+
+def main(out_path, session_paths):
+    sessions = []
+    for p in session_paths:
+        with open(p) as fh:
+            sessions.append((p, json.load(fh)))
+
+    # collect per-metric records across sessions
+    per = {}
+    order = []
+    for si, (p, d) in enumerate(sessions):
+        for r in d["records"]:
+            m = r["metric"]
+            if m not in per:
+                per[m] = []
+                order.append(m)
+            per[m].append((si, p, r))
+
+    records = []
+    superseded = []
+    kept_rate = {}
+    for m in order:
+        cands = per[m]
+        if "seconds" in m:
+            # derived value recomputed below from the kept rate; keep
+            # the direct measurement with the most repeats
+            base = max(cands, key=lambda c: (c[2].get("measured_n", 0),
+                                             -_spread({
+                                                 "value": c[2].get("measured_s"),
+                                                 "min": c[2].get("measured_min"),
+                                                 "max": c[2].get("measured_max"),
+                                             }) if c[2].get("measured_s") else 0))[2]
+            rec = dict(base)
+            its = rec.get("iterations")
+            rate_key = {
+                "rof512_seconds_to_gap_1e-6_per_px": "rof512_pdhg_iters_per_sec",
+                "tvl1_512_seconds_to_tol_1e-7": "tvl1_512_pdhg_iters_per_sec",
+                "deblur512_seconds_to_tol_1e-4": "deblur512_pdhg_iters_per_sec",
+                "rof512_admm_seconds_to_tol_1e-4": "rof512_admm_iters_per_sec",
+                "multilabel256x8_seconds_to_tol_1e-5": "multilabel256x8_pdhg_iters_per_sec",
+                "tight128x4_seconds_to_tol_2e-6": "tight128x4_pdhg_iters_per_sec",
+            }.get(m)
+            if its and rate_key in kept_rate:
+                rec["value"] = round(its / kept_rate[rate_key], 4)
+            records.append(rec)
+            continue
+        best = cands[0]
+        for c in cands[1:]:
+            if _better(c[2], best[2]):
+                best = c
+        si, p, r = best
+        rec = dict(r)
+        if len(cands) > 1:
+            rec["session"] = p.rsplit("/", 1)[-1]
+        # a banded row measured before the verify artifact landed is
+        # still verified code — every session in a merge runs one
+        # commit; take the artifact name from any session that has it
+        if rec.get("hw_verified") is False:
+            for _, _, r2 in cands:
+                if isinstance(r2.get("hw_verified"), str):
+                    rec["hw_verified"] = r2["hw_verified"]
+                    break
+        records.append(rec)
+        kept_rate[m] = rec["value"]
+        for si2, p2, r2 in cands:
+            if r2 is not r:
+                sup = dict(r2)
+                sup["note"] = (f"session {p2.rsplit('/', 1)[-1]}; displaced "
+                               "by the most-valid-sweeps/narrower-spread rule")
+                superseded.append(sup)
+
+    out = {
+        "date": sessions[-1][1].get("date"),
+        "interleaved": True,
+        "hw_verified": sessions[-1][1].get("hw_verified"),
+        "merge_note": ("per config the session with the most guard-passing "
+                       "sweeps is kept (ties: narrower relative spread); "
+                       "derived seconds recomputed from the kept rate; "
+                       "displaced records preserved under 'superseded'"),
+        "records": records,
+        "superseded": superseded,
+    }
+    with open(out_path, "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(f"wrote {out_path} ({len(records)} records, "
+          f"{len(superseded)} superseded)")
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2:])
