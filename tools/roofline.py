@@ -48,13 +48,15 @@ VMEM_BW = 16e12         # ~20x HBM, rule of thumb
 HBM_BW = 819e9
 
 # kernel-only it/s, tools/kernel_rates.py on the v5e, 2026-08-21
+# (round-5 session with the maskless-adjoint cores; ml read 117.0k in
+# the ml_ab_probe session — both kept for the dispersion record)
 KERNEL_RATES = {
-    "rof512": 219500.0,
-    "tvl1_512": 184000.0,
-    "ml256x8": 113000.0,
-    "tight128x4": 275900.0,
-    "deblur512": 44900.0,
-    "vol256x8": 76400.0,
+    "rof512": 248100.0,
+    "tvl1_512": 217800.0,
+    "ml256x8": 105200.0,
+    "tight128x4": 297500.0,
+    "deblur512": 46100.0,
+    "vol256x8": 77100.0,
 }
 
 
