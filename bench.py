@@ -109,12 +109,6 @@ def _fixture_image(name, nx, ny, noise=0.0, seed=42):
     return out.astype(np.float32)
 
 
-def _cow_image(nx, ny):
-    """The committed cow.png fixture (BASELINE config 3 is "8 labels on
-    cow.png", example_multilabel_fast.m:7-12)."""
-    return _fixture_image("cow", nx, ny)
-
-
 def build_multilabel(nx, ny, L=8, lmb=0.5, seed=42, sopts=None,
                      image="cow"):
     """Fast multilabel relaxation on the cow fixture (BASELINE config 3:
