@@ -176,7 +176,52 @@ def main(argv):
     chunk_decomposition("ROF 512x512 ri=10", 512 * 512, 4, 6, 10,
                         meas["rof512"],
                         t_kernel=10.0 / KERNEL_RATES["rof512"])
+    print()
+    admm_banded_bound(2048, 2048, n_bands=16, halo=24,
+                      admm512_its=meas.get("admm512", 43.6e3),
+                      measured=meas.get("admm2048"))
     return 0
+
+
+def admm_banded_bound(nx, ny, n_bands, halo, admm512_its, measured=None):
+    """Joint compute/DMA ceiling of `admm_banded_chunk` (fused_admm.py:812)
+    and the decomposition of its gap to pixel-linear scaling.
+
+    The banded kernel refetches every band's halo-extended window each
+    ITERATION (unlike the ROF-family chunk kernels, whose state is
+    VMEM-resident for a whole chunk), so it has two independent ceilings:
+
+    * compute: the whole-plane 512^2 ADMM per-pixel rate applied to the
+      halo-EXTENDED pixels actually computed (ext/rows recompute factor);
+    * DMA: 9 ext-row planes in (xh,xp,xd,warm, zh x2, zd x2, f) + 8
+      owned-row planes out per band per iteration at HBM_BW, overlapped
+      with compute by the double-buffered pipeline.
+
+    The joint bound is min(ceilings); pixel-linear scaling of the 512^2
+    rate is NOT reachable by ANY banded schedule — the designed halo
+    recompute alone forbids it."""
+    rows = nx // n_bands
+    ext = min(rows + 2 * halo, nx)
+    px_512 = 512 * 512
+    t_px = 1.0 / (admm512_its * px_512)          # s per pixel-iteration
+    t_compute = n_bands * ext * ny * t_px        # s per banded iteration
+    dma_bytes = n_bands * (9 * ext + 8 * rows) * ny * 4
+    t_dma = dma_bytes / HBM_BW
+    pixel_linear = 1.0 / (nx * ny * t_px)
+    joint = 1.0 / max(t_compute, t_dma)
+    print(f"ADMM banded {nx}x{ny} nb={n_bands} (rows={rows}, ext={ext}, "
+          f"halo recompute x{ext/rows:.3f}):")
+    print(f"  pixel-linear of the 512^2 rate: {pixel_linear/1e3:.2f}k it/s "
+          f"(unreachable by design)")
+    print(f"  compute ceiling {1e6*t_compute:.0f} us/iter = "
+          f"{1/t_compute/1e3:.2f}k it/s; DMA ceiling {dma_bytes/1e6:.0f} "
+          f"MB/iter -> {1e6*t_dma:.0f} us = {1/t_dma/1e3:.2f}k it/s")
+    print(f"  joint bound {joint/1e3:.2f}k it/s "
+          f"({100*joint/pixel_linear:.0f}% of pixel-linear)")
+    if measured:
+        print(f"  measured {measured/1e3:.2f}k it/s = "
+              f"{100*measured/joint:.0f}% of the joint bound "
+              f"({100*measured/pixel_linear:.0f}% of pixel-linear)")
 
 
 if __name__ == "__main__":
