@@ -180,7 +180,38 @@ def main(argv):
     admm_banded_bound(2048, 2048, n_bands=16, halo=24,
                       admm512_its=meas.get("admm512", 43.6e3),
                       measured=meas.get("admm2048"))
+    print()
+    rof_banded_bound(2048, 2048, n_bands=8, halo=24, ri=10,
+                     rof512_its=meas["rof512"],
+                     measured=meas.get("rof2048"))
     return 0
+
+
+def rof_banded_bound(nx, ny, n_bands, halo, ri, rof512_its, measured=None):
+    """Same joint-ceiling accounting for `rof_fused_multichunk_banded`
+    (fused_rof.py:1177).  Unlike the ADMM kernel its windows are fetched
+    once per CHUNK of ri iterations (state stays VMEM-resident for the
+    chunk), so DMA amortizes ri-fold and the compute ceiling (512^2
+    per-pixel rate x the ext/rows halo-recompute factor) is the only
+    one that binds."""
+    rows = nx // n_bands
+    ext = min(rows + 2 * halo, nx)
+    t_px = 1.0 / (rof512_its * 512 * 512)
+    t_compute = n_bands * ext * ny * t_px
+    dma_bytes = n_bands * (4 * ext + 6 * rows) * ny * 4  # per ri-chunk
+    t_dma = dma_bytes / HBM_BW / ri                      # per iteration
+    pixel_linear = 1.0 / (nx * ny * t_px)
+    joint = 1.0 / max(t_compute, t_dma)
+    print(f"ROF banded-multichunk {nx}x{ny} nb={n_bands} (rows={rows}, "
+          f"ext={ext}, halo recompute x{ext/rows:.3f} per chunk):")
+    print(f"  pixel-linear of the 512^2 rate: {pixel_linear/1e3:.2f}k it/s")
+    print(f"  compute ceiling {1/t_compute/1e3:.2f}k it/s; DMA "
+          f"{dma_bytes/1e6:.0f} MB/chunk -> {1/t_dma/1e3:.2f}k it/s "
+          f"(amortized over ri={ri}, fully hidden)")
+    if measured:
+        print(f"  measured {measured/1e3:.2f}k it/s = "
+              f"{100*measured/joint:.0f}% of the joint bound; the residual "
+              f"gap is band-boundary SMEM adaptation + pipeline fill")
 
 
 def admm_banded_bound(nx, ny, n_bands, halo, admm512_its, measured=None):
