@@ -230,7 +230,12 @@ def admm_banded_bound(nx, ny, n_bands, halo, admm512_its, measured=None):
 
     The joint bound is min(ceilings); pixel-linear scaling of the 512^2
     rate is NOT reachable by ANY banded schedule — the designed halo
-    recompute alone forbids it."""
+    recompute alone forbids it.  The compute ceiling is a PROXY read
+    off the 512^2 whole-plane e2e rate: the 2048-lane band windows can
+    compute more efficiently per pixel than that 512-wide kernel, so
+    measured rates may exceed it (quiet-window BENCH_ALL_r05: 2.18k =
+    110% of the proxy, 80% of pixel-linear) — treat it as a
+    conservative anchor, not a hard wall."""
     rows = nx // n_bands
     ext = min(rows + 2 * halo, nx)
     px_512 = 512 * 512
